@@ -1,0 +1,71 @@
+"""Vectorised wire codecs for the radar formats.
+
+Wire IQ format (reference sector.cpp:52-62, read_single.cc:15): one sector =
+m*n samples x 12 bytes, each sample interleaved big-endian int16
+``hhI hhQ vvI vvQ vhI vhQ``.  The reference decodes this with a 6.3M-iteration
+scalar host loop — its measured ingest bottleneck (SURVEY.md section 6).
+Here it is a zero-copy numpy view + transpose (and optionally the C++
+native codec in wrp_tpu.native, ~4x faster still).
+
+Result format (floats.c:3-43): big-endian float32 arrays with 2- or 4-byte
+big-endian integer headers (see frames.py for the framing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+
+try:  # optional C++ fast path, built by wrp_tpu.native.build
+    from ..native import codec_native as _native
+except Exception:  # pragma: no cover - native lib absent
+    _native = None
+
+
+def decode_iq(buf: bytes | bytearray | memoryview | np.ndarray,
+              cfg: RadarConfig = DEFAULT_CONFIG,
+              planar_out: np.ndarray | None = None) -> np.ndarray:
+    """Wire bytes -> float32 planar IQ [channels, 2(I/Q), m, n].
+
+    Kept as a real-valued [C, 2, m, n] array rather than complex64 so the
+    host never touches complex packing; `to_complex` converts on demand and
+    device code can consume either layout.
+    """
+    m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    expected = m * n * cfg.bytes_per_sample
+    raw = np.frombuffer(buf, dtype=">i2", count=expected // 2)
+    if _native is not None and planar_out is None:
+        return _native.decode_iq(raw, m, n, ch)
+    # [m, n, ch, 2] -> [ch, 2, m, n]
+    shaped = raw.reshape(m, n, ch, 2)
+    out = planar_out if planar_out is not None else np.empty(
+        (ch, 2, m, n), np.float32)
+    np.copyto(out, shaped.transpose(2, 3, 0, 1))
+    return out
+
+
+def to_complex(planar: np.ndarray) -> np.ndarray:
+    """[C, 2, m, n] float32 -> [C, m, n] complex64."""
+    return (planar[:, 0] + 1j * planar[:, 1]).astype(np.complex64)
+
+
+def encode_iq(iq: np.ndarray, cfg: RadarConfig = DEFAULT_CONFIG) -> bytes:
+    """Inverse of decode_iq for producers/tests: [C, m, n] complex (integer
+    valued) -> interleaved BE int16 wire bytes."""
+    m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    assert iq.shape == (ch, m, n), iq.shape
+    out = np.empty((m, n, ch, 2), dtype=">i2")
+    out[..., 0] = np.round(iq.real).astype(np.int16).transpose(1, 2, 0)
+    out[..., 1] = np.round(iq.imag).astype(np.int16).transpose(1, 2, 0)
+    return out.tobytes()
+
+
+def encode_be_float32(a: np.ndarray) -> bytes:
+    """float32 array -> big-endian bytes (floats.c aftoab)."""
+    return np.ascontiguousarray(a, dtype=">f4").tobytes()
+
+
+def decode_be_float32(buf: bytes, count: int = -1) -> np.ndarray:
+    """Big-endian float32 bytes -> float32 array (floats.c abtoaf)."""
+    return np.frombuffer(buf, dtype=">f4", count=count).astype(np.float32)

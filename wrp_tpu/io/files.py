@@ -1,0 +1,49 @@
+"""Readers/writers for the reference's staged golden-file formats.
+
+The reference dumps stage boundaries as ASCII floats, space-separated, one
+matrix row per line (`in/XXname.altb`, `out/XXname.{cpu,gpu}.out`; written
+by the commented cout blocks, e.g. read.cc:287-300).  `99result` files hold
+512 lines of "zdb zdr".  `cpu.bin` holds raw big-endian float32 zdb dumps
+(read_single.cc:129-130).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def read_ascii_matrix(path: str | Path) -> np.ndarray:
+    """Space-separated ASCII floats, one row per line ('-inf' tolerated)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rows.append(np.array([float(tok) for tok in line.split()], np.float64))
+    widths = {len(r) for r in rows}
+    if len(widths) != 1:
+        raise ValueError(f"ragged golden file {path}: row widths {sorted(widths)}")
+    return np.stack(rows)
+
+
+def write_ascii_matrix(path: str | Path, a: np.ndarray) -> None:
+    a = np.atleast_2d(np.asarray(a))
+    with open(path, "w") as f:
+        for row in a:
+            f.write(" ".join(format(float(v), "g") for v in row) + "\n")
+
+
+def read_result_file(path: str | Path):
+    """99result format: lines of 'zdb zdr' -> (zdb[m/2], zdr[m/2])."""
+    mat = read_ascii_matrix(path)
+    if mat.shape[1] != 2:
+        raise ValueError(f"{path}: expected 2 columns, got {mat.shape[1]}")
+    return mat[:, 0], mat[:, 1]
+
+
+def read_be_float32_bin(path: str | Path) -> np.ndarray:
+    """Raw big-endian float32 dump (out/cpu.bin; floats.c serialisation)."""
+    return np.fromfile(path, dtype=">f4").astype(np.float32)
