@@ -95,7 +95,13 @@ def stage08_pulse_sum(conv: Array) -> Array:
 
 def stage09_10_products(pow_hh: Array, pow_vv: Array, gain: Array):
     zdb = 10.0 * log10(gain * pow_hh)
-    zdr = 10.0 * (log10(pow_hh) - log10(pow_vv))
+    # zdr as log of the power ratio, not difference of logs: identical in
+    # exact arithmetic (read.cc:343) but far better conditioned in fp32 —
+    # hh/vv are close, and subtracting two ~2e-6-absolute-error device logs
+    # leaves a catastrophically cancelled small number (measured 4e-4 rel
+    # L2 on TPU vs 1e-6 for the ratio form).  inf/nan edge semantics match:
+    # vv=0 -> +inf, hh=vv=0 -> nan either way.
+    zdr = 10.0 * log10(pow_hh / pow_vv)
     return zdb, zdr
 
 
@@ -112,25 +118,38 @@ def _rmatmul(ar, ai, br, bi, precision):
     """(ar+i*ai) @ (br+i*bi) via four real MXU passes with controlled
     precision.  Explicit real decomposition keeps the contraction on the
     systolic array for any backend and makes the precision knob apply to
-    every pass."""
+    every pass.  It also keeps the whole device dataflow real-valued,
+    which matters in practice: complex64 host<->device transfer is not
+    supported on all TPU runtimes (and the wire codec produces planar
+    I/Q anyway)."""
     dot = functools.partial(jnp.matmul, precision=precision)
     return dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br)
 
 
-def stage01_04_mxu(iq: Array, op_a_half: Array, op_b: Array,
-                   precision=jax.lax.Precision.HIGHEST) -> Array:
-    """IQ [..., m, n] -> power [..., m/2, n] via A_half @ X @ B.
+def stage01_04_mxu_planar(xr: Array, xi: Array, op_a: tuple, op_b: tuple,
+                          precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Planar IQ ([..., m, n] real, imag) -> power [..., m/2, n] via
+    A_half @ X @ B, entirely in real float32 arithmetic.
 
     Folds window, range FFT, mean-subtraction, Doppler FFT, conj/fftshift,
     bin clipping and the half-spectrum crop into two constant matmuls.
     """
-    ar, ai = jnp.real(op_a_half), jnp.imag(op_a_half)
-    br, bi = jnp.real(op_b), jnp.imag(op_b)
-    xr, xi = jnp.real(iq), jnp.imag(iq)
-    # Left multiply: broadcast A over leading axes of X.
+    ar, ai = op_a
+    br, bi = op_b
     yr, yi = _rmatmul(ar, ai, xr, xi, precision)
     zr, zi = _rmatmul(yr, yi, br, bi, precision)
     return zr * zr + zi * zi
+
+
+def stage01_04_mxu(iq: Array, op_a_half: Array, op_b: Array,
+                   precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Complex-input convenience wrapper over stage01_04_mxu_planar."""
+    return stage01_04_mxu_planar(
+        jnp.real(iq), jnp.imag(iq),
+        (jnp.real(op_a_half), jnp.imag(op_a_half)),
+        (jnp.real(op_b), jnp.imag(op_b)),
+        precision,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -138,22 +157,32 @@ def stage01_04_mxu(iq: Array, op_a_half: Array, op_b: Array,
 # --------------------------------------------------------------------------
 
 
-def channel_power(
-    iq: Array,
+def channel_power_planar(
+    xr: Array,
+    xi: Array,
     consts: PipelineConstants,
     method: str = "mxu",
     matched_filter: str = "direct",
     precision=jax.lax.Precision.HIGHEST,
 ) -> Array:
-    """Stages 01-08: IQ [..., m, n] complex64 -> pow [..., m/2] float32."""
+    """Stages 01-08 on planar IQ: (real, imag) [..., m, n] -> pow [..., m/2].
+
+    The planar form is the device-facing API: no complex arrays cross the
+    host<->device boundary, and the mxu path never materialises complex at
+    all (pure real MXU/VPU dataflow)."""
     if method == "fft":
-        x = stage01_window(iq, jnp.asarray(consts.hamming, iq.real.dtype))
+        x = jax.lax.complex(xr, xi)
+        x = stage01_window(x, jnp.asarray(consts.hamming, xr.dtype))
         x = stage02_range_fft(x)
         x = stage03_doppler(x)
         p = stage04_power(x)
     elif method == "mxu":
-        p = stage01_04_mxu(
-            iq, jnp.asarray(consts.op_a_half), jnp.asarray(consts.op_b), precision
+        a, b = jnp.asarray(consts.op_a_half), jnp.asarray(consts.op_b)
+        p = stage01_04_mxu_planar(
+            xr, xi,
+            (jnp.real(a), jnp.imag(a)),
+            (jnp.real(b), jnp.imag(b)),
+            precision,
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -167,6 +196,36 @@ def channel_power(
     return stage08_pulse_sum(conv)
 
 
+def channel_power(
+    iq: Array,
+    consts: PipelineConstants,
+    method: str = "mxu",
+    matched_filter: str = "direct",
+    precision=jax.lax.Precision.HIGHEST,
+) -> Array:
+    """Stages 01-08: IQ [..., m, n] complex64 -> pow [..., m/2] float32."""
+    return channel_power_planar(
+        jnp.real(iq), jnp.imag(iq), consts, method, matched_filter, precision
+    )
+
+
+def process_sectors_planar(
+    iq_planar: Array,
+    consts: PipelineConstants,
+    method: str = "mxu",
+    matched_filter: str = "direct",
+    precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[Array, Array]:
+    """Full chain on planar IQ [..., channels, 2, m, n] float32 (the codec's
+    native layout, io/codec.decode_iq) -> (zdb, zdr) each [..., m/2]."""
+    pow_all = channel_power_planar(
+        iq_planar[..., 0, :, :], iq_planar[..., 1, :, :],
+        consts, method, matched_filter, precision,
+    )
+    gain = jnp.asarray(consts.gain)
+    return stage09_10_products(pow_all[..., 0, :], pow_all[..., 1, :], gain)
+
+
 def process_sectors(
     iq: Array,
     consts: PipelineConstants,
@@ -174,9 +233,9 @@ def process_sectors(
     matched_filter: str = "direct",
     precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[Array, Array]:
-    """Full chain over a batch: IQ [..., channels, m, n] -> (zdb, zdr)
-    each [..., m/2].  Channel 0 = hh, channel 1 = vv; extra channels (vh)
-    ride along through the power stages like the reference
+    """Full chain over a batch: IQ [..., channels, m, n] complex ->
+    (zdb, zdr) each [..., m/2].  Channel 0 = hh, channel 1 = vv; extra
+    channels (vh) ride along through the power stages like the reference
     (read_single.cc:485-502) so per-channel power is available."""
     pow_all = channel_power(iq, consts, method, matched_filter, precision)
     gain = jnp.asarray(consts.gain)
@@ -210,29 +269,73 @@ def all_stages(
 # --------------------------------------------------------------------------
 
 
+#: Named dot-precision policies.  "bf16x3" (3 bf16 MXU passes, fp32
+#: accumulation) measures within 1.5x of the fp64 oracle error of
+#: "highest" (6 passes) on the full chain while being ~20% faster; it is
+#: the TPU default.  CPU backends may not implement the algorithm presets,
+#: so "highest" is the portable default.
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3,
+    "bf16x6": jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X6,
+}
+
+
+def default_precision_name() -> str:
+    return "bf16x3" if jax.default_backend() == "tpu" else "highest"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ma_taps_tuple", "method", "matched_filter")
+    jax.jit,
+    static_argnames=("ma_taps_tuple", "method", "matched_filter", "precision"),
 )
-def _process_jit(iq, hamming, ma_taps_tuple, fft_ma, gain, op_a_half, op_b,
-                 method, matched_filter):
-    consts = PipelineConstants(
-        hamming=hamming,
-        ma_taps=np.asarray(ma_taps_tuple, np.float32),
-        fft_ma=fft_ma,
-        gain=gain,
-        op_a_half=op_a_half,
-        op_b=op_b,
-    )
-    return process_sectors(iq, consts, method, matched_filter)
+def _process_planar_jit(iq_planar, hamming, ma_taps_tuple, fft_ma, gain,
+                        op_ar, op_ai, op_br, op_bi, method, matched_filter,
+                        precision="highest"):
+    xr = iq_planar[..., 0, :, :]
+    xi = iq_planar[..., 1, :, :]
+    if method == "mxu":
+        p = stage01_04_mxu_planar(xr, xi, (op_ar, op_ai), (op_br, op_bi),
+                                  PRECISIONS[precision])
+    elif method == "fft":
+        x = jax.lax.complex(xr, xi)
+        x = stage01_window(x, hamming)
+        x = stage02_range_fft(x)
+        x = stage03_doppler(x)
+        p = stage04_power(x)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if matched_filter == "direct":
+        conv = matched_filter_direct(p, np.asarray(ma_taps_tuple, np.float32))
+    else:
+        # fft_ma is carried planar [2, n] (complex64 transfer is not
+        # universally supported); rebuild complex on device.
+        conv = matched_filter_spectral(p, jax.lax.complex(fft_ma[0], fft_ma[1]))
+    pow_all = stage08_pulse_sum(conv)
+    return stage09_10_products(pow_all[..., 0, :], pow_all[..., 1, :], gain)
+
+
+def to_planar(iq) -> np.ndarray:
+    """Complex [..., m, n] -> planar float32 [..., 2, m, n] (host-side)."""
+    if isinstance(iq, np.ndarray):
+        return np.stack([iq.real.astype(np.float32),
+                         iq.imag.astype(np.float32)], axis=-3)
+    return jnp.stack([jnp.real(iq).astype(jnp.float32),
+                      jnp.imag(iq).astype(jnp.float32)], axis=-3)
 
 
 class SectorProcessor:
     """Compiled batch processor bound to one config + device placement.
 
+    Accepts complex IQ [B, C, m, n] (split to planar host-side) or planar
+    float32 IQ [B, C, 2, m, n] (the codec's native layout).  The on-device
+    dataflow is entirely real-valued.
+
     Usage::
 
         proc = SectorProcessor(cfg, method="mxu")
-        zdb, zdr = proc(iq_batch)        # iq_batch [B, C, m, n] complex64
+        zdb, zdr = proc(iq_batch)
     """
 
     def __init__(
@@ -241,22 +344,37 @@ class SectorProcessor:
         method: str = "mxu",
         matched_filter: str = "direct",
         device=None,
+        precision: str | None = None,
     ):
         self.cfg = cfg
         self.method = method
         self.matched_filter = matched_filter
+        self.device = device
+        self.precision = precision or default_precision_name()
         consts = PipelineConstants.build(cfg)
         put = functools.partial(jax.device_put, device=device)
         self._dev_consts = (
             put(consts.hamming),
             tuple(float(t) for t in consts.ma_taps),  # static: baked into jit
-            put(consts.fft_ma),
+            put(np.stack([consts.fft_ma.real, consts.fft_ma.imag]).astype(
+                np.float32)),
             put(consts.gain),
-            put(consts.op_a_half),
-            put(consts.op_b),
+            put(np.ascontiguousarray(consts.op_a_half.real)),
+            put(np.ascontiguousarray(consts.op_a_half.imag)),
+            put(np.ascontiguousarray(consts.op_b.real)),
+            put(np.ascontiguousarray(consts.op_b.imag)),
         )
 
     def __call__(self, iq: Array) -> Tuple[Array, Array]:
-        h, taps, fm, g, a, b = self._dev_consts
-        return _process_jit(iq, h, taps, fm, g, a, b,
-                            self.method, self.matched_filter)
+        if np.iscomplexobj(iq):
+            iq = to_planar(np.asarray(iq) if isinstance(iq, np.ndarray) else iq)
+        expect = (self.cfg.num_channels, 2, self.cfg.m, self.cfg.n)
+        if tuple(iq.shape[-4:]) != expect:
+            raise ValueError(
+                f"planar IQ must end in [channels, 2, m, n] = {expect}, "
+                f"got {tuple(iq.shape)}"
+            )
+        h, taps, fm, g, ar, ai, br, bi = self._dev_consts
+        return _process_planar_jit(iq, h, taps, fm, g, ar, ai, br, bi,
+                                   self.method, self.matched_filter,
+                                   self.precision)
