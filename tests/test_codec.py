@@ -1,0 +1,109 @@
+"""Wire codec semantics vs the reference byte layouts
+(sector.cpp:52-62, floats.c:3-43)."""
+
+import numpy as np
+import pytest
+
+from wrp_tpu.config import DEFAULT_CONFIG, tiny_config
+from wrp_tpu.io import codec, frames
+
+
+def test_decode_reference_byte_order():
+    """Hand-build one sample in the reference's interleaved BE layout and
+    check channel/I-Q placement."""
+    cfg = tiny_config(m=2, n=2)
+    # sample (i=0, j=0): hhI=1, hhQ=-2, vvI=3, vvQ=-4, vhI=5, vhQ=-6
+    samples = np.arange(1, 25).reshape(4, 6).astype(np.int16)
+    samples[:, 1::2] *= -1
+    wire = samples.astype(">i2").tobytes()
+    planar = codec.decode_iq(wire, cfg)
+    assert planar.shape == (3, 2, 2, 2)
+    # first sample
+    assert planar[0, 0, 0, 0] == 1 and planar[0, 1, 0, 0] == -2   # hh I/Q
+    assert planar[1, 0, 0, 0] == 3 and planar[1, 1, 0, 0] == -4   # vv
+    assert planar[2, 0, 0, 0] == 5 and planar[2, 1, 0, 0] == -6   # vh
+    # row-major: sample (0,1) is the second group of 6
+    assert planar[0, 0, 0, 1] == 7
+
+
+def test_iq_roundtrip():
+    cfg = tiny_config(m=16, n=8)
+    rng = np.random.default_rng(0)
+    iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+          + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+    wire = codec.encode_iq(iq, cfg)
+    assert len(wire) == cfg.sector_nbytes_wire
+    planar = codec.decode_iq(wire, cfg)
+    np.testing.assert_array_equal(codec.to_complex(planar),
+                                  iq.astype(np.complex64))
+
+
+def test_int16_extremes_roundtrip():
+    cfg = tiny_config(m=2, n=2)
+    iq = np.full(cfg.sector_shape, -32768 - 32767j, np.complex128)
+    iq[0, 0, 0] = 32767 + 0j
+    planar = codec.decode_iq(codec.encode_iq(iq, cfg), cfg)
+    assert planar[0, 0, 0, 0] == 32767
+    assert planar[1, 0, 0, 0] == -32768 and planar[1, 1, 0, 0] == -32767
+
+
+def test_be_float32_roundtrip():
+    vals = np.array([0.0, -1.5, 3.14159, np.inf, -np.inf, 1e-30], np.float32)
+    buf = codec.encode_be_float32(vals)
+    assert len(buf) == 4 * len(vals)
+    np.testing.assert_array_equal(codec.decode_be_float32(buf), vals)
+
+
+def test_be_float32_matches_reference_ftob():
+    """floats.c:3-13 writes the fp32 bit pattern MSB-first; 1.0f ->
+    3f 80 00 00."""
+    assert codec.encode_be_float32(np.array([1.0], np.float32)) == bytes(
+        [0x3F, 0x80, 0x00, 0x00])
+
+
+def test_result_frame_v1():
+    vals = np.linspace(-50, 50, 512).astype(np.float32)
+    buf = frames.pack_result_v1(7, vals)
+    assert len(buf) == 2 + 512 * 4   # read_single.cc:510 layout
+    sector, got = frames.unpack_result_v1(buf)
+    assert sector == 7
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_result_frame_v2():
+    vals = np.linspace(-50, 50, 512).astype(np.float32)
+    buf = frames.pack_result_v2(142, 8, vals)
+    assert len(buf) == 4 + 512 * 4   # rpv2.cu:631 layout
+    sector, elevation, got = frames.unpack_result_v2(buf)
+    assert (sector, elevation) == (142, 8)
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_ingest_header_roundtrip_and_passthrough():
+    payload = b"\x01\x02" * 16
+    buf = frames.pack_ingest_row(frames.IngestHeader(5, 3, 999), payload)
+    header, got = frames.try_unpack_ingest_row(buf)
+    assert (header.sector, header.elevation, header.row) == (5, 3, 999)
+    assert got == payload
+    # raw v1 datagrams pass through unchanged
+    header, got = frames.try_unpack_ingest_row(payload)
+    assert header is None and got == payload
+
+
+def test_decode_matches_scalar_reference_loop(rng):
+    """Cross-check the vectorised decode against a literal scalar
+    re-implementation of Sector::fromByteArray byte maths."""
+    cfg = tiny_config(m=4, n=4)
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    planar = codec.decode_iq(wire, cfg)
+    idx = 0
+    for i in range(cfg.m):
+        for j in range(cfg.n):
+            for ch in range(3):
+                for part in range(2):
+                    hi, lo = wire[idx], wire[idx + 1]
+                    idx += 2
+                    val = ((hi << 8) & 0xFF00) + (lo & 0xFF)
+                    if val >= 32768:
+                        val -= 65536
+                    assert planar[ch, part, i, j] == np.float32(val)

@@ -1,0 +1,214 @@
+"""Loopback streaming integration tests over real sockets.
+
+The TPU-framework formalisation of the reference's localhost test topology:
+producer process -> processor -> consumers over 127.0.0.1
+(read_single.cc:125-127; rpv2.cu tcp://localhost:5563/5564, SURVEY.md
+section 4.5).  Uses ephemeral ports so tests don't collide.
+"""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from wrp_tpu import oracle
+from wrp_tpu.config import tiny_config
+from wrp_tpu.io import codec, frames
+from wrp_tpu.io.udp import UdpIngest, UdpEgress, UdpProducer
+from wrp_tpu.runtime import StreamingExecutor
+
+
+@pytest.fixture()
+def cfg():
+    return tiny_config(m=32, n=16)
+
+
+def _wire_sectors(cfg, n, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        iq = (rng.integers(-2048, 2048, cfg.sector_shape)
+              + 1j * rng.integers(-2048, 2048, cfg.sector_shape))
+        out.append((iq, codec.encode_iq(iq, cfg)))
+    return out
+
+
+def test_udp_loopback_single_sector(cfg):
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    (iq, wire), = _wire_sectors(cfg, 1)
+    producer.send_sector(wire)
+    buf, header = ingest.recv_sector()
+    assert header is None
+    assert bytes(buf) == wire
+    planar = codec.decode_iq(bytes(buf), cfg)
+    np.testing.assert_array_equal(codec.to_complex(planar),
+                                  iq.astype(np.complex64))
+    ingest.close()
+    producer.close()
+
+
+def test_udp_extended_headers_and_reorder(cfg):
+    """Rows carrying explicit indices are placed correctly even when sent
+    out of order — impossible in the reference's bare format."""
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    (iq, wire), = _wire_sectors(cfg, 1)
+    rb = cfg.datagram_nbytes
+    rows = list(range(cfg.num_range_cells))
+    rows[0], rows[1] = rows[1], rows[0]  # swap first two rows on the wire
+    for row in rows:
+        payload = frames.pack_ingest_row(
+            frames.IngestHeader(9, 2, row), wire[row * rb:(row + 1) * rb])
+        sock.sendto(payload, ("127.0.0.1", ingest.local_port))
+    buf, header = ingest.recv_sector()
+    assert (header.sector, header.elevation) == (9, 2)
+    assert bytes(buf) == wire  # reassembled in correct order
+    ingest.close()
+    sock.close()
+
+
+def test_udp_timeout_returns_idle(cfg):
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.05)
+    buf, header = ingest.recv_sector()
+    assert buf is None and header is None
+    assert ingest.stats.timeouts == 1
+    ingest.close()
+
+
+def test_udp_partial_sector_drop(cfg):
+    """A producer dying mid-sector must raise (and count a drop), not hang
+    forever like the reference's blocking recvfrom."""
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.1)
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    (_, wire), = _wire_sectors(cfg, 1)
+    rb = cfg.datagram_nbytes
+    for row in range(4):  # only 4 of m rows
+        producer._sock.sendto(wire[row * rb:(row + 1) * rb], producer.addr)
+    with pytest.raises(TimeoutError):
+        ingest.recv_sector()
+    assert ingest.stats.dropped_sectors == 1
+    ingest.close()
+    producer.close()
+
+
+def test_full_udp_streaming_pipeline(cfg):
+    """producer -> UdpIngest -> StreamingExecutor -> UdpEgress -> consumer,
+    all over loopback; results validated against the fp64 oracle."""
+    n_sectors = 6
+    sectors = _wire_sectors(cfg, n_sectors, seed=4)
+
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    # consumer sockets on ephemeral ports
+    zdb_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    zdb_sock.bind(("127.0.0.1", 0))
+    zdb_sock.settimeout(5.0)
+    zdr_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    zdr_sock.bind(("127.0.0.1", 0))
+    zdr_sock.settimeout(5.0)
+    egress = UdpEgress(cfg, zdb_port=zdb_sock.getsockname()[1],
+                       zdr_port=zdr_sock.getsockname()[1])
+
+    ex = StreamingExecutor(cfg, transport=ingest, publish=egress,
+                           batch=3, max_sectors=n_sectors)
+    runner = threading.Thread(target=ex.run, daemon=True)
+    runner.start()
+
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    for iq, wire in sectors:
+        producer.send_sector(wire)
+
+    results = {}
+    for _ in range(n_sectors):
+        buf, _ = zdb_sock.recvfrom(65536)
+        sector, zdb = frames.unpack_result_v1(buf)
+        buf, _ = zdr_sock.recvfrom(65536)
+        sector2, zdr = frames.unpack_result_v1(buf)
+        assert sector == sector2
+        results[sector] = (zdb, zdr)
+    runner.join(timeout=10)
+    assert len(results) == n_sectors
+
+    for k, (iq, _) in enumerate(sectors):
+        zdb64, zdr64 = oracle.process_sector(iq, cfg)
+        zdb, zdr = results[k]
+        assert oracle.relative_l2(zdb64, zdb) < 1e-4
+        assert oracle.relative_l2(zdr64, zdr) < 1e-4
+
+    for s in (zdb_sock, zdr_sock):
+        s.close()
+    ingest.close()
+    producer.close()
+    egress.close()
+
+
+def test_zmq_loopback_pipeline(cfg):
+    """v2 wire: ZmqProducer -> ZmqIngest -> executor -> ZmqEgress ->
+    ZmqResultConsumer, topics A/B/C, per rpv2.cu framing."""
+    zmq = pytest.importorskip("zmq")
+    from wrp_tpu.io.zmq_io import (ZmqEgress, ZmqIngest, ZmqProducer,
+                                   ZmqResultConsumer)
+
+    n_sectors = 4
+    sectors = _wire_sectors(cfg, n_sectors, seed=6)
+
+    # pick free tcp ports
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    ingest_port, result_port = free_port(), free_port()
+    producer = ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{ingest_port}")
+    ingest = ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{ingest_port}",
+                       timeout_ms=3000)
+    egress = ZmqEgress(cfg, endpoint=f"tcp://127.0.0.1:{result_port}")
+    consumer = ZmqResultConsumer(cfg, endpoint=f"tcp://127.0.0.1:{result_port}",
+                                 timeout_ms=5000)
+    import time
+
+    time.sleep(0.3)  # PUB/SUB join
+
+    class _ZmqAdapter:
+        """ZmqIngest returns bare bytes; executor handles both."""
+
+        def __init__(self, inner, limit):
+            self.inner, self.left = inner, limit
+
+        def recv_sector(self):
+            if self.left == 0:
+                raise TimeoutError("done")
+            w = self.inner.recv_sector()
+            if w is not None:
+                self.left -= 1
+            return w
+
+    ex = StreamingExecutor(cfg, transport=_ZmqAdapter(ingest, n_sectors),
+                           publish=egress, batch=2, max_sectors=n_sectors)
+    runner = threading.Thread(target=ex.run, daemon=True)
+    runner.start()
+    time.sleep(0.2)
+
+    for iq, wire in sectors:
+        producer.send_sector(wire)
+
+    got = {}
+    while len(got) < n_sectors * 2:
+        item = consumer.recv()
+        if item is None:
+            break
+        topic, sector, elevation, values = item
+        got[(topic, sector)] = values
+    runner.join(timeout=10)
+    assert len(got) == n_sectors * 2, f"got {len(got)} frames"
+
+    for k, (iq, _) in enumerate(sectors):
+        zdb64, zdr64 = oracle.process_sector(iq, cfg)
+        assert oracle.relative_l2(zdb64, got[(b"B", k)]) < 1e-4
+        assert oracle.relative_l2(zdr64, got[(b"C", k)]) < 1e-4
+
+    for c in (producer, ingest, egress, consumer):
+        c.close()

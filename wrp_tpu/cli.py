@@ -1,0 +1,228 @@
+"""Command-line entry points.
+
+Mirrors the reference's executable surface (SURVEY.md section 2.1) as
+subcommands of one CLI instead of sixteen separate mains:
+
+  process  — single-shot file mode (reference read.cc / read_gpu.cu):
+             IQ in, zdb/zdr out, per-stage dumps on request.
+  stream   — streaming processor (reference gpu_1fp_streamcasc.cu v1 wire
+             on UDP, rpv2.cu v2 wire on ZMQ), flags instead of the
+             reference's hardcoded ports and NSTREAMS argv.
+  produce  — replay/synthesise sectors onto the wire (the external
+             producer of the reference's localhost topology).
+  consume  — receive and print result frames (visualiser stand-in).
+
+Usage: python -m wrp_tpu.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--method", default="mxu", choices=["mxu", "fft"])
+    p.add_argument("--log-level", default="INFO")
+    p.add_argument("--structured-logs", action="store_true")
+
+
+def cmd_process(args):
+    import jax
+
+    from . import oracle
+    from .config import DEFAULT_CONFIG
+    from .pipeline import SectorProcessor
+    from .io import codec
+    from .io.files import read_ascii_matrix, write_ascii_matrix
+
+    cfg = DEFAULT_CONFIG
+    if args.input == "synthetic":
+        iq = oracle.synthetic_iq(cfg, kind="noise", seed=args.seed)
+        planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    elif args.input.endswith(".npy"):
+        planar = np.load(args.input)
+    else:  # raw wire bytes
+        planar = codec.decode_iq(open(args.input, "rb").read(), cfg)
+    proc = SectorProcessor(cfg, method=args.method)
+    t0 = time.perf_counter()
+    zdb, zdr = proc(planar[None])
+    zdb, zdr = np.asarray(zdb)[0], np.asarray(zdr)[0]
+    dt = time.perf_counter() - t0
+    print(f"processing: {dt * 1e6:.0f} us", file=sys.stderr)
+    if args.output:
+        write_ascii_matrix(args.output, np.stack([zdb, zdr], 1))
+    else:
+        for a, b in zip(zdb, zdr):
+            print(f"{a:g} {b:g}")
+    return 0
+
+
+def cmd_stream(args):
+    from .config import DEFAULT_CONFIG
+    from .runtime import StreamingExecutor, VolumeScan, configure_logging
+
+    configure_logging(args.log_level, args.structured_logs)
+    cfg = DEFAULT_CONFIG
+    if args.transport == "udp":
+        from .io.udp import UdpIngest, UdpEgress
+
+        transport = UdpIngest(cfg, port=args.ingest_port,
+                              timeout_s=args.timeout)
+        publish = UdpEgress(cfg, zdb_port=args.zdb_port,
+                            zdr_port=args.zdr_port)
+    else:
+        from .io.zmq_io import ZmqIngest, ZmqEgress
+
+        transport = ZmqIngest(
+            cfg, endpoint=args.zmq_sub,
+            timeout_ms=int(args.timeout * 1e3) if args.timeout else None)
+        publish = ZmqEgress(cfg, endpoint=args.zmq_pub)
+
+    volume = VolumeScan(cfg, args.checkpoint) if args.checkpoint else None
+    ex = StreamingExecutor(
+        cfg, transport=transport, publish=publish, batch=args.batch,
+        method=args.method, debug_sync=args.debug_sync, volume=volume,
+        max_sectors=args.max_sectors, idle_limit=args.idle_limit,
+    )
+    stats = ex.run()
+    if volume is not None and args.checkpoint:
+        volume.save()
+        stats["volume_coverage"] = volume.fraction()
+    print(json.dumps(stats, indent=2))
+    return 0
+
+
+def cmd_produce(args):
+    from . import oracle
+    from .config import DEFAULT_CONFIG
+    from .io import codec
+
+    cfg = DEFAULT_CONFIG
+    if args.transport == "udp":
+        from .io.udp import UdpProducer
+
+        producer = UdpProducer(cfg, host=args.host, port=args.ingest_port,
+                               extended_headers=args.headers)
+    else:
+        from .io.zmq_io import ZmqProducer
+
+        producer = ZmqProducer(cfg, endpoint=args.zmq_bind)
+        time.sleep(args.connect_delay)  # PUB/SUB join grace
+
+    rng = np.random.default_rng(args.seed)
+    sent = 0
+    for k in range(args.sectors):
+        sector = k % cfg.num_sectors
+        elevation = (k // cfg.num_sectors) % cfg.num_elevations
+        iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+              + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+        wire = codec.encode_iq(iq, cfg)
+        producer.send_sector(wire, sector, elevation)
+        sent += 1
+        if args.rate:
+            time.sleep(1.0 / args.rate)
+    print(f"sent {sent} sectors", file=sys.stderr)
+    return 0
+
+
+def cmd_consume(args):
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if args.transport == "udp":
+        import socket
+
+        from .io import frames
+
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind(("", args.port or cfg.udp_zdb_port))
+        sock.settimeout(args.timeout)
+        got = 0
+        while got < args.count:
+            try:
+                buf, _ = sock.recvfrom(65536)
+            except TimeoutError:
+                break
+            sector, values = frames.unpack_result_v1(buf)
+            print(f"sector {sector}: {values[:4]} ...")
+            got += 1
+    else:
+        from .io.zmq_io import ZmqResultConsumer
+
+        consumer = ZmqResultConsumer(
+            cfg, endpoint=args.zmq_sub, timeout_ms=int(args.timeout * 1e3))
+        got = 0
+        while got < args.count:
+            item = consumer.recv()
+            if item is None:
+                break
+            topic, sector, elevation, values = item
+            print(f"{topic.decode()}: sector {sector} elev {elevation}: "
+                  f"{values[:4]} ...")
+            got += 1
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="wrp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="single-shot file processing")
+    _add_common(p)
+    p.add_argument("--input", default="synthetic",
+                   help="'synthetic', raw wire .bin, or planar .npy")
+    p.add_argument("--output", default=None, help="99result-format output")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("stream", help="streaming processor")
+    _add_common(p)
+    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--ingest-port", type=int, default=None)
+    p.add_argument("--zdb-port", type=int, default=None)
+    p.add_argument("--zdr-port", type=int, default=None)
+    p.add_argument("--zmq-sub", default=None)
+    p.add_argument("--zmq-pub", default=None)
+    p.add_argument("--checkpoint", default=None, help="volume .npz path")
+    p.add_argument("--debug-sync", action="store_true",
+                   help="validate numerics every batch (rpv2 gpuErrchk mode)")
+    p.add_argument("--max-sectors", type=int, default=None)
+    p.add_argument("--idle-limit", type=int, default=None,
+                   help="exit after N consecutive idle recv timeouts")
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("produce", help="replay sectors onto the wire")
+    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--sectors", type=int, default=143)
+    p.add_argument("--rate", type=float, default=0.0, help="sectors/s cap")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--ingest-port", type=int, default=None)
+    p.add_argument("--zmq-bind", default="tcp://*:5563")
+    p.add_argument("--headers", action="store_true",
+                   help="extended ingest headers (drop detection)")
+    p.add_argument("--connect-delay", type=float, default=0.5)
+    p.set_defaults(fn=cmd_produce)
+
+    p = sub.add_parser("consume", help="receive result frames")
+    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--count", type=int, default=10)
+    p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--zmq-sub", default="tcp://localhost:5564")
+    p.set_defaults(fn=cmd_consume)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,4 +100,5 @@ def tiny_config(m: int = 64, n: int = 32, channels: int = 3) -> RadarConfig:
         num_channels=channels,
         num_sectors=8,
         num_elevations=2,
+        ma_count=min(DEFAULT_CONFIG.ma_count, n),
     ).validate()

@@ -1,0 +1,204 @@
+"""UDP ingest/egress — wire-compatible with the reference v1 pipeline.
+
+Reference behaviour (read_single.cc:125-148, udpbroadcast.cpp):
+  * ingest: one sector = m datagrams x (bytes_per_sample * n) bytes on
+    port 19001, strictly in row order, blocking recv with no timeout;
+  * egress: zdb/zdr frames broadcast to ports 19002/19003.
+
+This implementation fixes the reference's silent-corruption failure modes
+(SURVEY.md section 5): configurable receive timeout, sector resynchronisation
+on drops (count-based for bare v1 datagrams, header-based when the producer
+uses frames.IngestHeader), and drop accounting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import socket
+from typing import Optional
+
+import numpy as np
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+from . import frames
+
+
+@dataclasses.dataclass
+class IngestStats:
+    sectors: int = 0
+    datagrams: int = 0
+    dropped_datagrams: int = 0
+    dropped_sectors: int = 0
+    timeouts: int = 0
+
+
+class UdpIngest:
+    """Reassembles sectors from per-pulse-row datagrams.
+
+    With bare v1 datagrams, rows are assumed in order (the reference's
+    contract); a timeout mid-sector drops the partial sector and resyncs.
+    With extended headers (frames.IngestHeader) rows are placed by index and
+    loss is detected exactly.
+    """
+
+    def __init__(
+        self,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        port: int | None = None,
+        host: str = "",
+        timeout_s: Optional[float] = None,
+        rcvbuf_bytes: int = 1 << 24,
+    ):
+        self.cfg = cfg
+        self.port = port if port is not None else cfg.udp_ingest_port
+        self.stats = IngestStats()
+        self._row_bytes = cfg.datagram_nbytes
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        try:
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                  rcvbuf_bytes)
+        except OSError:
+            pass
+        self._sock.bind((host, self.port))
+        self._sock.settimeout(timeout_s)
+        # room for an extended header in front of a row payload
+        self._scratch = bytearray(self._row_bytes + frames.IngestHeader.SIZE)
+
+    @property
+    def local_port(self) -> int:
+        return self._sock.getsockname()[1]
+
+    def recv_sector(self, out: bytearray | None = None):
+        """Receive one sector.
+
+        Returns (buffer, header | None) where buffer is the raw
+        sector_nbytes_wire byte payload and header carries (sector,
+        elevation) when the producer sent extended frames.  Returns
+        (None, None) on timeout with no data (idle).  Raises TimeoutError
+        if a sector is partially received and then the stream stalls.
+        """
+        cfg = self.cfg
+        m = cfg.num_range_cells
+        buf = out if out is not None else bytearray(cfg.sector_nbytes_wire)
+        view = memoryview(buf)
+        first_header = None
+        rows = 0
+        while rows < m:
+            try:
+                nbytes = self._sock.recv_into(self._scratch)
+            except socket.timeout:
+                self.stats.timeouts += 1
+                if rows == 0:
+                    return None, None
+                # mid-sector stall: drop partial sector, stay alive
+                self.stats.dropped_sectors += 1
+                self.stats.dropped_datagrams += m - rows
+                raise TimeoutError(
+                    f"sector stalled after {rows}/{m} rows"
+                ) from None
+            self.stats.datagrams += 1
+            header, payload = frames.try_unpack_ingest_row(
+                bytes(self._scratch[:nbytes])
+            )
+            if len(payload) != self._row_bytes:
+                self.stats.dropped_datagrams += 1
+                continue
+            if header is not None:
+                if first_header is None:
+                    first_header = header
+                elif (header.sector != first_header.sector
+                      or header.elevation != first_header.elevation):
+                    # producer moved on: we lost the tail of this sector
+                    self.stats.dropped_sectors += 1
+                    self.stats.dropped_datagrams += m - rows
+                    buf[:] = b"\x00" * len(buf)
+                    first_header = header
+                    rows = 0
+                row_idx = header.row
+            else:
+                row_idx = rows
+            if 0 <= row_idx < m:
+                view[row_idx * self._row_bytes:(row_idx + 1) * self._row_bytes] = payload
+            rows += 1
+        self.stats.sectors += 1
+        return buf, first_header
+
+    def close(self):
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class UdpEgress:
+    """Broadcast result frames like the reference's udpclient
+    (udpbroadcast.cpp:15-43): one socket per product port."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 zdb_port: int | None = None, zdr_port: int | None = None,
+                 host: str = "127.0.0.1", broadcast: bool = False):
+        self.cfg = cfg
+        self.host = "255.255.255.255" if broadcast else host
+        self.zdb_port = zdb_port if zdb_port is not None else cfg.udp_zdb_port
+        self.zdr_port = zdr_port if zdr_port is not None else cfg.udp_zdr_port
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if broadcast:
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
+
+    def send(self, sector: int, zdb: np.ndarray, zdr: np.ndarray) -> None:
+        """v1 frame: [sector:int16 BE][m/2 float32 BE]
+        (read_single.cc:510-520)."""
+        self._sock.sendto(frames.pack_result_v1(sector, zdb),
+                          (self.host, self.zdb_port))
+        self._sock.sendto(frames.pack_result_v1(sector, zdr),
+                          (self.host, self.zdr_port))
+
+    def close(self):
+        self._sock.close()
+
+
+class UdpProducer:
+    """Replays sector byte streams as v1 row datagrams (the external
+    producer process of the reference's localhost test topology,
+    SURVEY.md section 4.5)."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 host: str = "127.0.0.1", port: int | None = None,
+                 extended_headers: bool = False,
+                 rows_per_burst: int = 64, burst_gap_s: float = 1e-3):
+        """rows_per_burst/burst_gap_s: datagram pacing.  Kernel receive
+        buffers are typically capped well below one sector's 6.3 MB
+        (net.core.rmem_max is 4 MB here), so an unpaced sector burst
+        overruns the receiver and loses datagrams — the reference's silent
+        corruption mode, our detected-drop mode.  Pacing bounds the burst;
+        set rows_per_burst=0 to disable."""
+        self.cfg = cfg
+        self.addr = (host, port if port is not None else cfg.udp_ingest_port)
+        self.extended = extended_headers
+        self.rows_per_burst = rows_per_burst
+        self.burst_gap_s = burst_gap_s
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def send_sector(self, wire: bytes, sector: int = 0,
+                    elevation: int = 0) -> None:
+        import time
+
+        cfg = self.cfg
+        rb = cfg.datagram_nbytes
+        for row in range(cfg.num_range_cells):
+            payload = wire[row * rb:(row + 1) * rb]
+            if self.extended:
+                payload = frames.pack_ingest_row(
+                    frames.IngestHeader(sector, elevation, row), payload
+                )
+            self._sock.sendto(payload, self.addr)
+            if (self.rows_per_burst and self.burst_gap_s
+                    and (row + 1) % self.rows_per_burst == 0):
+                time.sleep(self.burst_gap_s)
+
+    def close(self):
+        self._sock.close()

@@ -1,0 +1,136 @@
+"""ZeroMQ pub/sub transport — wire-compatible with the reference v2 (rpv2).
+
+Reference behaviour (rpv2.cu:216-220, 350-365, 620-663):
+  * ingest: SUB connect tcp://localhost:5563, topic "A", one message =
+    one whole sector of interleaved BE int16;
+  * egress: PUB bind tcp://*:5564, topic "B" = zdb frame, "C" = zdr frame,
+    each [sector:int16 BE][elevation:int16 BE][m/2 float32 BE].
+
+pyzmq is available in this image; the module degrades to an ImportError at
+construction (not import) time so the rest of the framework works without it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+from . import frames
+
+try:
+    import zmq
+
+    _ZMQ = True
+except ImportError:  # pragma: no cover
+    _ZMQ = False
+
+
+def _require_zmq():
+    if not _ZMQ:
+        raise ImportError("pyzmq is required for the ZMQ transport")
+
+
+class ZmqIngest:
+    """SUB socket receiving whole-sector messages under the ingest topic."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 endpoint: str | None = None, timeout_ms: Optional[int] = None):
+        _require_zmq()
+        self.cfg = cfg
+        self.ctx = zmq.Context.instance()
+        self.sock = self.ctx.socket(zmq.SUB)
+        self.sock.connect(endpoint or cfg.zmq_sub_endpoint)
+        self.sock.setsockopt(zmq.SUBSCRIBE, cfg.zmq_ingest_topic)
+        if timeout_ms is not None:
+            self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
+
+    def recv_sector(self) -> Optional[bytes]:
+        """One sector's wire bytes, or None on timeout."""
+        try:
+            parts = self.sock.recv_multipart()
+        except zmq.Again:
+            return None
+        # envelope = [topic, body] (zhelpers s_sendmore/s_send convention)
+        body = parts[-1]
+        want = self.cfg.sector_nbytes_wire
+        if len(body) < want:
+            return None
+        return body[:want]
+
+    def close(self):
+        self.sock.close(0)
+
+
+class ZmqEgress:
+    """PUB socket publishing v2 result frames under topics B (zdb) and
+    C (zdr)."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 endpoint: str | None = None):
+        _require_zmq()
+        self.cfg = cfg
+        self.ctx = zmq.Context.instance()
+        self.sock = self.ctx.socket(zmq.PUB)
+        self.sock.bind(endpoint or cfg.zmq_pub_endpoint)
+
+    def send(self, sector: int, elevation: int,
+             zdb: np.ndarray, zdr: np.ndarray) -> None:
+        self.sock.send_multipart(
+            [self.cfg.zmq_zdb_topic, frames.pack_result_v2(sector, elevation, zdb)]
+        )
+        self.sock.send_multipart(
+            [self.cfg.zmq_zdr_topic, frames.pack_result_v2(sector, elevation, zdr)]
+        )
+
+    def close(self):
+        self.sock.close(0)
+
+
+class ZmqProducer:
+    """PUB socket publishing whole sectors under the ingest topic (the
+    external data source of the reference's v2 topology)."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 endpoint: str = "tcp://*:5563"):
+        _require_zmq()
+        self.cfg = cfg
+        self.ctx = zmq.Context.instance()
+        self.sock = self.ctx.socket(zmq.PUB)
+        self.sock.bind(endpoint)
+
+    def send_sector(self, wire: bytes, sector: int = 0,
+                    elevation: int = 0) -> None:
+        self.sock.send_multipart([self.cfg.zmq_ingest_topic, wire])
+
+    def close(self):
+        self.sock.close(0)
+
+
+class ZmqResultConsumer:
+    """SUB socket collecting v2 result frames (test/visualiser side)."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 endpoint: str = "tcp://localhost:5564",
+                 timeout_ms: int = 5000):
+        _require_zmq()
+        self.cfg = cfg
+        self.ctx = zmq.Context.instance()
+        self.sock = self.ctx.socket(zmq.SUB)
+        self.sock.connect(endpoint)
+        for topic in (cfg.zmq_zdb_topic, cfg.zmq_zdr_topic):
+            self.sock.setsockopt(zmq.SUBSCRIBE, topic)
+        self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
+
+    def recv(self) -> Optional[Tuple[bytes, int, int, np.ndarray]]:
+        """(topic, sector, elevation, values) or None on timeout."""
+        try:
+            topic, body = self.sock.recv_multipart()
+        except zmq.Again:
+            return None
+        sector, elevation, values = frames.unpack_result_v2(body)
+        return topic, sector, elevation, values
+
+    def close(self):
+        self.sock.close(0)

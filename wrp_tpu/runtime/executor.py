@@ -1,0 +1,227 @@
+"""Streaming executor: the TPU-native equivalent of the reference's v1
+stream-cascade pipeline (gpu_1fp_streamcasc.cu:485-737).
+
+The reference's software pipeline overlapped, per sector: host UDP ingest of
+sector k+1, GPU compute of sector k on a round-robin CUDA stream, and D2H of
+sector k-1's 4 KB result.  Here the same overlap falls out of a two-thread
+design with JAX's async dispatch:
+
+  ingest thread:  transport recv -> native/numpy decode -> planar queue
+  compute thread: batch up to `batch` sectors -> device_put -> jit chain
+                  -> D2H fetch -> egress + volume-scan accumulation
+
+While the device runs batch k, the ingest thread is already decoding batch
+k+1 (the reference's proven bottleneck — SURVEY.md section 6 shows host
+input dominated every GPU variant).  Batching replaces CUDA streams: one
+dispatch of [B, C, 2, m, n] keeps the chip busier than round-robin
+single-sector launches ever could.
+
+Adds what the reference lacked (SURVEY.md section 5): recv timeouts with
+drop-and-resync recovery, sector/elevation tracking, volume-scan
+checkpointing, per-stage timers, and a debug sync-every-batch mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+from ..pipeline import SectorProcessor
+from ..io import codec
+from .metrics import StageTimers, Throughput, log
+from .volume import VolumeScan
+
+
+@dataclasses.dataclass
+class SectorTask:
+    planar: np.ndarray          # [C, 2, m, n] float32
+    sector: int
+    elevation: int
+
+
+class StreamingExecutor:
+    """Pull sectors from a transport, process in batches, publish products.
+
+    transport: object with `recv_sector() -> (bytes | None, header | None)`
+               (UdpIngest) or `recv_sector() -> bytes | None` (ZmqIngest).
+    publish:   callable(sector, elevation, zdb, zdr) or an egress object
+               with `.send(...)` — v1 egress takes (sector, zdb, zdr),
+               v2 takes (sector, elevation, zdb, zdr); both are detected.
+    """
+
+    def __init__(
+        self,
+        cfg: RadarConfig = DEFAULT_CONFIG,
+        transport=None,
+        publish: Optional[Callable] = None,
+        batch: int = 8,
+        method: str = "mxu",
+        queue_depth: int = 4,
+        debug_sync: bool = False,
+        volume: Optional[VolumeScan] = None,
+        max_sectors: Optional[int] = None,
+        idle_limit: Optional[int] = None,
+    ):
+        """idle_limit: stop after this many consecutive idle receive
+        timeouts (None = listen forever, the service default)."""
+        self.cfg = cfg
+        self.transport = transport
+        self.publish = publish
+        self.batch = batch
+        self.debug_sync = debug_sync
+        self.max_sectors = max_sectors
+        self.idle_limit = idle_limit
+        self.volume = volume
+        self.timers = StageTimers()
+        self.throughput = Throughput()
+        self.processor = SectorProcessor(cfg, method=method)
+        self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
+            maxsize=queue_depth * batch
+        )
+        self._stop = threading.Event()
+        self._ingest_error: Optional[BaseException] = None
+        # reference counters (rpv2.cu:46-51, advance() :572-579)
+        self._sector = 0
+        self._elevation = 0
+
+    # ------------------------------------------------------------------
+    # ingest side
+    # ------------------------------------------------------------------
+
+    def _advance(self):
+        self._sector = (self._sector + 1) % self.cfg.num_sectors
+        if self._sector == 0:
+            self._elevation = (self._elevation + 1) % self.cfg.num_elevations
+
+    def _ingest_loop(self):
+        received = 0
+        idle = 0
+        try:
+            while not self._stop.is_set():
+                if self.max_sectors is not None and received >= self.max_sectors:
+                    break
+                with self.timers.time("ingest/recv"):
+                    try:
+                        got = self.transport.recv_sector()
+                    except TimeoutError as e:
+                        log.warning("dropped sector: %s", e)
+                        self._advance()
+                        continue
+                if isinstance(got, tuple):
+                    wire, header = got
+                else:
+                    wire, header = got, None
+                if wire is None:
+                    idle += 1
+                    if self.idle_limit is not None and idle >= self.idle_limit:
+                        log.info("idle limit reached (%d timeouts), stopping",
+                                 idle)
+                        break
+                    continue
+                idle = 0
+                if header is not None:
+                    sector, elevation = header.sector, header.elevation
+                    self._sector, self._elevation = sector, elevation
+                else:
+                    sector, elevation = self._sector, self._elevation
+                with self.timers.time("ingest/decode"):
+                    planar = codec.decode_iq(wire, self.cfg)
+                self._queue.put(SectorTask(planar, sector, elevation))
+                self._advance()
+                received += 1
+        except BaseException as e:  # surface into run()
+            self._ingest_error = e
+        finally:
+            self._queue.put(None)
+
+    # ------------------------------------------------------------------
+    # compute side
+    # ------------------------------------------------------------------
+
+    def _drain_batch(self):
+        """Collect up to `batch` queued sectors (at least one, else None)."""
+        tasks = []
+        item = self._queue.get()
+        if item is None:
+            return None
+        tasks.append(item)
+        while len(tasks) < self.batch:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-signal EOF for next round
+                break
+            tasks.append(item)
+        return tasks
+
+    def _process_batch(self, tasks):
+        planar = np.stack([t.planar for t in tasks])
+        with self.timers.time("compute/dispatch"):
+            zdb, zdr = self.processor(planar)
+        with self.timers.time("compute/fetch"):
+            zdb = np.asarray(zdb)
+            zdr = np.asarray(zdr)
+        if self.debug_sync:
+            # rpv2's gpuErrchk-after-every-launch as a flag, not a hardcode
+            # (rpv2.cu:422-490): validate numerics every batch.
+            bad = ~np.isfinite(zdb[:, 1:])
+            if bad.any():
+                log.error("debug_sync: %d non-finite zdb bins", int(bad.sum()))
+        for k, t in enumerate(tasks):
+            if self.volume is not None:
+                self.volume.store(t.sector, t.elevation, zdb[k], zdr[k])
+            if self.publish is not None:
+                with self.timers.time("egress/send"):
+                    self._publish_one(t, zdb[k], zdr[k])
+        self.throughput.tick(len(tasks))
+
+    def _publish_one(self, t: SectorTask, zdb, zdr):
+        pub = self.publish
+        if callable(pub) and not hasattr(pub, "send"):
+            pub(t.sector, t.elevation, zdb, zdr)
+            return
+        try:
+            pub.send(t.sector, t.elevation, zdb, zdr)   # v2 signature
+        except TypeError:
+            pub.send(t.sector, zdb, zdr)                # v1 signature
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> dict:
+        """Blocking steady-state loop; returns a stats summary."""
+        ingest = threading.Thread(target=self._ingest_loop, daemon=True,
+                                  name="wrp-ingest")
+        ingest.start()
+        processed = 0
+        try:
+            while True:
+                tasks = self._drain_batch()
+                if tasks is None:
+                    break
+                self._process_batch(tasks)
+                processed += len(tasks)
+        finally:
+            self._stop.set()
+            ingest.join(timeout=5)
+        if self._ingest_error is not None:
+            raise self._ingest_error
+        return self.stats(processed)
+
+    def stop(self):
+        self._stop.set()
+
+    def stats(self, processed: int) -> dict:
+        return {
+            "processed_sectors": processed,
+            "sectors_per_second": round(self.throughput.overall(), 2),
+            "timers": self.timers.summary(),
+            "transport": dataclasses.asdict(self.transport.stats)
+            if hasattr(self.transport, "stats") else {},
+        }
