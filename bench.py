@@ -28,11 +28,14 @@ BASELINE_2CH = 73.5   # prof/nocin-sep.prof
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
-    ap.add_argument("--batch", type=int, default=32, help="sectors per step")
-    ap.add_argument("--steps", type=int, default=8, help="timed steps")
-    ap.add_argument("--method", default="mxu", choices=["mxu", "fft"])
+    ap.add_argument("--batch", type=int, default=64, help="sectors per step")
+    ap.add_argument("--distinct", type=int, default=4,
+                    help="distinct device-staged batches scanned per repeat")
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="sequential passes over the distinct batches")
+    ap.add_argument("--method", default="mxu", choices=["mxu", "radix", "fft"])
     ap.add_argument("--matched-filter", default="direct",
-                    choices=["direct", "spectral"])
+                    choices=["direct", "fold", "spectral"])
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -50,7 +53,7 @@ def main():
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
         cfg = tiny_config(m=128, n=64)
-        args.batch, args.steps = 4, 2
+        args.batch, args.distinct, args.repeats = 4, 2, 2
     else:
         cfg = DEFAULT_CONFIG
 
@@ -63,9 +66,12 @@ def main():
 
     rng = np.random.default_rng(0)
     c, m, n = cfg.sector_shape
-    # Planar float32 IQ [B, C, 2, m, n] — the device-facing layout.
-    host_iq = rng.integers(-8192, 8192,
-                           (args.batch, c, 2, m, n)).astype(np.float32)
+    # Planar float32 IQ [D, B, C, 2, m, n] — D distinct device-staged
+    # batches so every scanned step reads fresh data (no loop-invariant
+    # computation for XLA to hoist, no perturbation artifact).
+    host_iq = rng.integers(
+        -8192, 8192, (args.distinct, args.batch, c, 2, m, n)
+    ).astype(np.float32)
 
     def fetch(out):
         """Force true completion: block_until_ready is not a reliable sync
@@ -79,39 +85,42 @@ def main():
     t_h2d = time.perf_counter() - t0
     h2d_gbps = host_iq.nbytes / t_h2d / 1e9
 
-    # --- steady-state compute: one dispatch scans `steps` batches on
-    # device (reference 'nocin' methodology: device span, input staged).
-    # A per-step perturbation defeats loop-invariant hoisting; outputs are
-    # consumed.  One tiny D2H fetch ends the span, so tunnel round-trip
-    # latency is amortised out of the kernel measurement. ---
+    # --- steady-state compute: one dispatch runs `repeats` passes over the
+    # D distinct batches (reference 'nocin' methodology: device span, input
+    # staged).  The carry threads through every step, so no pass can be
+    # hoisted or elided; one tiny D2H fetch ends the span, amortising
+    # dispatch round-trip latency out of the kernel measurement. ---
     import jax.numpy as jnp
     from jax import lax
 
-    K = args.steps
+    steps = args.distinct * args.repeats
 
     @jax.jit
-    def scan_steps(iq_dev):
-        def body(carry, k):
-            scale = 1.0 + 1e-6 * k.astype(jnp.float32)
-            zdb, zdr = proc(iq_dev * scale)
+    def timed_passes(iq_all):
+        def one_batch(carry, iq_batch):
+            zdb, zdr = proc(iq_batch)
             # consume every output element so no batch lane can be DCE'd
             return carry + jnp.sum(zdb, axis=0) + jnp.sum(
                 jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0), None
-        acc, _ = lax.scan(body, jnp.zeros(cfg.num_output_bins), jnp.arange(K))
-        return acc
+
+        def one_repeat(r, carry):
+            return lax.scan(one_batch, carry, iq_all)[0]
+
+        return lax.fori_loop(0, args.repeats,
+                             one_repeat, jnp.zeros(cfg.num_output_bins))
 
     t0 = time.perf_counter()
-    np.asarray(scan_steps(dev_iq))
+    np.asarray(timed_passes(dev_iq))
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    acc = np.asarray(scan_steps(dev_iq))
+    acc = np.asarray(timed_passes(dev_iq))
     elapsed = time.perf_counter() - t0
-    sectors_s = K * args.batch / elapsed
+    sectors_s = steps * args.batch / elapsed
     assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
 
     # --- streaming including fresh H2D (tunnel-dependent, secondary) ---
     t0 = time.perf_counter()
-    out = fetch(proc(jax.device_put(host_iq, dev)))
+    out = fetch(proc(jax.device_put(host_iq[0], dev)))
     elapsed_h2d = time.perf_counter() - t0
     sectors_s_h2d = args.batch / elapsed_h2d
 
@@ -125,8 +134,9 @@ def main():
         "h2d_gbps": round(h2d_gbps, 2),
         "compile_s": round(t_compile, 1),
         "batch": args.batch,
-        "steps": args.steps,
+        "steps": steps,
         "method": args.method,
+        "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",
         "baseline": {"3ch": BASELINE_3CH, "2ch_nocin": BASELINE_2CH,

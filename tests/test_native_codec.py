@@ -1,0 +1,73 @@
+"""Native (C++) codec vs the numpy reference path, plus throughput floor."""
+
+import time
+
+import numpy as np
+import pytest
+
+from wrp_tpu.config import DEFAULT_CONFIG, tiny_config
+from wrp_tpu.io import codec
+
+native = pytest.importorskip("wrp_tpu.native.codec_native")
+
+
+def _numpy_decode(buf, cfg):
+    raw = np.frombuffer(buf, dtype=">i2",
+                        count=cfg.sector_nbytes_wire // 2)
+    return np.ascontiguousarray(
+        raw.reshape(cfg.m, cfg.n, cfg.num_channels, 2).transpose(2, 3, 0, 1)
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("cfg", [tiny_config(m=16, n=8), DEFAULT_CONFIG],
+                         ids=["tiny", "full"])
+def test_native_decode_matches_numpy(cfg, rng):
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    got = native.decode_iq(wire, cfg.m, cfg.n, cfg.num_channels)
+    want = _numpy_decode(wire, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_decode_single_thread_matches(rng):
+    cfg = tiny_config(m=32, n=16)
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    a = native.decode_iq(wire, cfg.m, cfg.n, cfg.num_channels, num_threads=1)
+    b = native.decode_iq(wire, cfg.m, cfg.n, cfg.num_channels, num_threads=6)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_encode_roundtrip(rng):
+    cfg = tiny_config(m=16, n=8)
+    planar = rng.integers(-32768, 32768,
+                          (3, 2, cfg.m, cfg.n)).astype(np.float32)
+    wire = native.encode_iq(planar)
+    back = native.decode_iq(wire, cfg.m, cfg.n, 3)
+    np.testing.assert_array_equal(back, planar)
+
+
+def test_native_be_f32_matches_numpy(rng):
+    vals = rng.standard_normal(1000).astype(np.float32)
+    assert native.encode_be_f32(vals) == codec.encode_be_float32(vals)
+
+
+def test_native_decode_into_preallocated(rng):
+    cfg = tiny_config(m=16, n=8)
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    out = np.zeros((3, 2, cfg.m, cfg.n), np.float32)
+    got = native.decode_iq(wire, cfg.m, cfg.n, 3, out=out)
+    assert got is out
+    np.testing.assert_array_equal(out, _numpy_decode(wire, cfg))
+
+
+def test_decode_throughput_floor(rng):
+    """The decode must sustain well beyond the radar's real-time rate
+    (~21.5 sectors/s, SURVEY.md section 6)."""
+    cfg = DEFAULT_CONFIG
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    native.decode_iq(wire, cfg.m, cfg.n, 3)  # warm
+    t0 = time.perf_counter()
+    k = 10
+    for _ in range(k):
+        native.decode_iq(wire, cfg.m, cfg.n, 3)
+    rate = k / (time.perf_counter() - t0)
+    assert rate > 50, f"native decode too slow: {rate:.1f} sectors/s"

@@ -26,7 +26,8 @@ import numpy as np
 
 
 def _add_common(p):
-    p.add_argument("--method", default="mxu", choices=["mxu", "fft"])
+    p.add_argument("--method", default="mxu",
+                   choices=["mxu", "radix", "fft"])
     p.add_argument("--log-level", default="INFO")
     p.add_argument("--structured-logs", action="store_true")
 

@@ -33,10 +33,10 @@ def decode_iq(buf: bytes | bytearray | memoryview | np.ndarray,
     device code can consume either layout.
     """
     m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    if _native is not None:
+        return _native.decode_iq(buf, m, n, ch, out=planar_out)
     expected = m * n * cfg.bytes_per_sample
     raw = np.frombuffer(buf, dtype=">i2", count=expected // 2)
-    if _native is not None and planar_out is None:
-        return _native.decode_iq(raw, m, n, ch)
     # [m, n, ch, 2] -> [ch, 2, m, n]
     shaped = raw.reshape(m, n, ch, 2)
     out = planar_out if planar_out is not None else np.empty(

@@ -1,0 +1,93 @@
+// Native wire codec: the host-side hot loops of the streaming runtime.
+//
+// The reference spent most of its per-sector host time in
+// Sector::fromByteArray + the repack loop (rpv2.cu:350-387 measures it as
+// "deserialize"/"restructuring"; SURVEY.md section 6 shows host input
+// dominated every GPU variant).  This is the same transform, vectorisable
+// and parallelised over channel/part planes:
+//
+//   wire:   m*n samples x [hhI hhQ vvI vvQ vhI vhQ], int16 big-endian
+//           (sector.cpp:52-62, read_single.cc:15)
+//   planar: float32 [channels][2][m][n]  (the device-facing layout)
+//
+// Build: see build.py / Makefile in this directory.  Exposed via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline int16_t be16(const uint8_t *p) {
+  return static_cast<int16_t>((static_cast<uint16_t>(p[0]) << 8) |
+                              static_cast<uint16_t>(p[1]));
+}
+
+void decode_plane(const uint8_t *wire, float *dst, size_t samples,
+                  size_t offset_bytes, size_t stride_bytes) {
+  const uint8_t *src = wire + offset_bytes;
+  for (size_t s = 0; s < samples; ++s) {
+    dst[s] = static_cast<float>(be16(src));
+    src += stride_bytes;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// wire[m*n*ch*4] BE int16 interleaved -> out[ch*2*m*n] float32 planar.
+void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
+                   int64_t ch, int32_t num_threads) {
+  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
+  const size_t stride = static_cast<size_t>(ch) * 4;  // bytes per sample
+  const int planes = static_cast<int>(ch) * 2;
+
+  if (num_threads <= 1 || planes <= 1) {
+    for (int p = 0; p < planes; ++p) {
+      decode_plane(wire, out + static_cast<size_t>(p) * samples, samples,
+                   static_cast<size_t>(p) * 2, stride);
+    }
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(planes);
+  for (int p = 0; p < planes; ++p) {
+    pool.emplace_back(decode_plane, wire,
+                      out + static_cast<size_t>(p) * samples, samples,
+                      static_cast<size_t>(p) * 2, stride);
+  }
+  for (auto &t : pool) t.join();
+}
+
+// planar float32 [ch][2][m][n] -> wire BE int16 interleaved (producer side).
+void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
+                   int64_t ch) {
+  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
+  const size_t stride = static_cast<size_t>(ch) * 4;
+  const int planes = static_cast<int>(ch) * 2;
+  for (int p = 0; p < planes; ++p) {
+    const float *src = planar + static_cast<size_t>(p) * samples;
+    uint8_t *dst = wire + static_cast<size_t>(p) * 2;
+    for (size_t s = 0; s < samples; ++s) {
+      int32_t v = static_cast<int32_t>(src[s]);
+      dst[s * stride] = static_cast<uint8_t>((v >> 8) & 0xff);
+      dst[s * stride + 1] = static_cast<uint8_t>(v & 0xff);
+    }
+  }
+}
+
+// float32 array -> big-endian bytes (floats.c aftoab equivalent).
+void wrp_encode_be_f32(const float *src, uint8_t *dst, int64_t count) {
+  for (int64_t i = 0; i < count; ++i) {
+    uint32_t bits;
+    std::memcpy(&bits, &src[i], 4);
+    dst[i * 4 + 0] = static_cast<uint8_t>((bits >> 24) & 0xff);
+    dst[i * 4 + 1] = static_cast<uint8_t>((bits >> 16) & 0xff);
+    dst[i * 4 + 2] = static_cast<uint8_t>((bits >> 8) & 0xff);
+    dst[i * 4 + 3] = static_cast<uint8_t>(bits & 0xff);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,68 @@
+"""ctypes binding for the native wire codec (codec.cpp).
+
+Importing this module builds the shared library on demand; any failure
+raises ImportError so callers fall back to the vectorised numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+try:
+    from .build import build
+
+    _lib = ctypes.CDLL(str(build()))
+except Exception as e:  # pragma: no cover - toolchain absent
+    raise ImportError(f"native codec unavailable: {e}") from e
+
+_lib.wrp_decode_iq.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+]
+_lib.wrp_encode_iq.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+]
+_lib.wrp_encode_be_f32.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+]
+
+_DEFAULT_THREADS = int(os.environ.get("WRP_CODEC_THREADS",
+                                      min(6, os.cpu_count() or 1)))
+
+
+def _as_u8(buf) -> np.ndarray:
+    """Zero-copy uint8 view over bytes/bytearray/memoryview/ndarray."""
+    return np.frombuffer(buf, np.uint8)
+
+
+def decode_iq(wire, m: int, n: int, ch: int,
+              out: np.ndarray | None = None,
+              num_threads: int = _DEFAULT_THREADS) -> np.ndarray:
+    """Wire bytes -> planar float32 [ch, 2, m, n]."""
+    if out is None:
+        out = np.empty((ch, 2, m, n), np.float32)
+    src = _as_u8(wire)
+    assert src.size >= m * n * ch * 4, (src.size, m * n * ch * 4)
+    _lib.wrp_decode_iq(src.ctypes.data, out.ctypes.data, m, n, ch,
+                       num_threads)
+    return out
+
+
+def encode_iq(planar: np.ndarray) -> bytes:
+    ch, two, m, n = planar.shape
+    assert two == 2
+    planar = np.ascontiguousarray(planar, np.float32)
+    wire = np.empty(m * n * ch * 4, np.uint8)
+    _lib.wrp_encode_iq(planar.ctypes.data, wire.ctypes.data, m, n, ch)
+    return wire.tobytes()
+
+
+def encode_be_f32(a: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(a, np.float32)
+    out = np.empty(a.size * 4, np.uint8)
+    _lib.wrp_encode_be_f32(a.ctypes.data, out.ctypes.data, a.size)
+    return out.tobytes()

@@ -189,6 +189,10 @@ def channel_power_planar(
 
     if matched_filter == "direct":
         conv = matched_filter_direct(p, consts.ma_taps)
+    elif matched_filter == "fold":
+        # sum-preserving identity of the circular convolution; see
+        # _process_planar_jit for the derivation and caveats.
+        return stage08_pulse_sum(p) * float(np.sum(consts.ma_taps))
     elif matched_filter == "spectral":
         conv = matched_filter_spectral(p, jnp.asarray(consts.fft_ma))
     else:
@@ -308,11 +312,20 @@ def _process_planar_jit(iq_planar, hamming, ma_taps_tuple, fft_ma, gain,
         raise ValueError(f"unknown method {method!r}")
     if matched_filter == "direct":
         conv = matched_filter_direct(p, np.asarray(ma_taps_tuple, np.float32))
+        pow_all = stage08_pulse_sum(conv)
+    elif matched_filter == "fold":
+        # Stages 05-08 folded: circular convolution preserves row sums
+        # exactly (sum_j (p (*) ma)[j] = sum_j p[j] * sum_k ma[k]), so the
+        # pulse-sum of the matched-filter output equals the pulse-sum of
+        # the power matrix scaled by sum(ma).  Identity tested to ~1e-8 in
+        # fp32 (tests/test_pipeline.py); use "direct" when stage-07
+        # intermediates must be materialised.
+        pow_all = stage08_pulse_sum(p) * float(np.sum(ma_taps_tuple))
     else:
         # fft_ma is carried planar [2, n] (complex64 transfer is not
         # universally supported); rebuild complex on device.
         conv = matched_filter_spectral(p, jax.lax.complex(fft_ma[0], fft_ma[1]))
-    pow_all = stage08_pulse_sum(conv)
+        pow_all = stage08_pulse_sum(conv)
     return stage09_10_products(pow_all[..., 0, :], pow_all[..., 1, :], gain)
 
 
@@ -332,9 +345,17 @@ class SectorProcessor:
     float32 IQ [B, C, 2, m, n] (the codec's native layout).  The on-device
     dataflow is entirely real-valued.
 
+    Methods:
+      * "mxu"   — stages 01-04 as two dense constant matmuls (ops folded)
+      * "radix" — same math with Cooley-Tukey radix-128 split DFTs,
+                  ~3.8x fewer MACs (ops/dft.py); falls back to "mxu" when
+                  the geometry doesn't split
+      * "fft"   — literal XLA-FFT formulation (stage-parity/golden path;
+                  unavailable on TPU runtimes without FFT support)
+
     Usage::
 
-        proc = SectorProcessor(cfg, method="mxu")
+        proc = SectorProcessor(cfg, method="radix")
         zdb, zdr = proc(iq_batch)
     """
 
@@ -347,11 +368,20 @@ class SectorProcessor:
         precision: str | None = None,
     ):
         self.cfg = cfg
+        if method == "radix":
+            from .ops.dft import RadixStageOperators
+
+            if RadixStageOperators.supports(cfg):
+                self._radix_ops = RadixStageOperators.build(cfg)
+            else:
+                method = "mxu"  # geometry too small to split
         self.method = method
         self.matched_filter = matched_filter
         self.device = device
         self.precision = precision or default_precision_name()
         consts = PipelineConstants.build(cfg)
+        if method == "radix":
+            self._radix_fn = self._build_radix_fn(consts)
         put = functools.partial(jax.device_put, device=device)
         self._dev_consts = (
             put(consts.hamming),
@@ -365,6 +395,31 @@ class SectorProcessor:
             put(np.ascontiguousarray(consts.op_b.imag)),
         )
 
+    def _build_radix_fn(self, consts: PipelineConstants):
+        """Per-instance jit for the radix method (its operator tables are
+        embedded as XLA constants — a few hundred KB)."""
+        from .ops.dft import stage01_04_radix
+
+        ops = self._radix_ops
+        taps = consts.ma_taps.copy()
+        gain = consts.gain.copy()
+        prec = PRECISIONS[self.precision]
+
+        matched_filter = self.matched_filter
+
+        @jax.jit
+        def fn(iq_planar):
+            p = stage01_04_radix(iq_planar[..., 0, :, :],
+                                 iq_planar[..., 1, :, :], ops, prec)
+            if matched_filter == "fold":
+                pow_all = stage08_pulse_sum(p) * float(np.sum(taps))
+            else:
+                pow_all = stage08_pulse_sum(matched_filter_direct(p, taps))
+            return stage09_10_products(pow_all[..., 0, :], pow_all[..., 1, :],
+                                       jnp.asarray(gain))
+
+        return fn
+
     def __call__(self, iq: Array) -> Tuple[Array, Array]:
         if np.iscomplexobj(iq):
             iq = to_planar(np.asarray(iq) if isinstance(iq, np.ndarray) else iq)
@@ -374,6 +429,8 @@ class SectorProcessor:
                 f"planar IQ must end in [channels, 2, m, n] = {expect}, "
                 f"got {tuple(iq.shape)}"
             )
+        if self.method == "radix":
+            return self._radix_fn(iq)
         h, taps, fm, g, ar, ai, br, bi = self._dev_consts
         return _process_planar_jit(iq, h, taps, fm, g, ar, ai, br, bi,
                                    self.method, self.matched_filter,

@@ -162,12 +162,19 @@ class StreamingExecutor:
         return tasks
 
     def _process_batch(self, tasks):
+        # Pad to the fixed batch shape: one compiled executable for the
+        # whole stream (a mid-stream recompile stalls ingest long enough
+        # to overflow the receive buffer).
         planar = np.stack([t.planar for t in tasks])
+        if len(tasks) < self.batch:
+            pad = np.zeros((self.batch - len(tasks), *planar.shape[1:]),
+                           planar.dtype)
+            planar = np.concatenate([planar, pad])
         with self.timers.time("compute/dispatch"):
             zdb, zdr = self.processor(planar)
         with self.timers.time("compute/fetch"):
-            zdb = np.asarray(zdb)
-            zdr = np.asarray(zdr)
+            zdb = np.asarray(zdb)[: len(tasks)]
+            zdr = np.asarray(zdr)[: len(tasks)]
         if self.debug_sync:
             # rpv2's gpuErrchk-after-every-launch as a flag, not a hardcode
             # (rpv2.cu:422-490): validate numerics every batch.
@@ -194,8 +201,18 @@ class StreamingExecutor:
 
     # ------------------------------------------------------------------
 
+    def warmup(self) -> None:
+        """Compile the chain before ingest starts (the reference built all
+        cuFFT plans up front, rpv2.cu:312-341; a first-batch compile stall
+        here would overflow the UDP receive buffer and drop sectors)."""
+        c, m, n = self.cfg.sector_shape
+        zeros = np.zeros((self.batch, c, 2, m, n), np.float32)
+        np.asarray(self.processor(zeros)[0])
+
     def run(self) -> dict:
         """Blocking steady-state loop; returns a stats summary."""
+        with self.timers.time("compute/warmup_compile"):
+            self.warmup()
         ingest = threading.Thread(target=self._ingest_loop, daemon=True,
                                   name="wrp-ingest")
         ingest.start()
