@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--matched-filter", default="direct",
                     choices=["direct", "fold", "spectral"])
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed pass "
+                         "(the nvprof-equivalent; view with tensorboard)")
     args = ap.parse_args()
 
     import numpy as np
@@ -112,6 +115,9 @@ def main():
     t0 = time.perf_counter()
     np.asarray(timed_passes(dev_iq))
     t_compile = time.perf_counter() - t0
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            np.asarray(timed_passes(dev_iq))
     t0 = time.perf_counter()
     acc = np.asarray(timed_passes(dev_iq))
     elapsed = time.perf_counter() - t0

@@ -33,13 +33,11 @@ def _add_common(p):
 
 
 def cmd_process(args):
-    import jax
-
     from . import oracle
     from .config import DEFAULT_CONFIG
     from .pipeline import SectorProcessor
     from .io import codec
-    from .io.files import read_ascii_matrix, write_ascii_matrix
+    from .io.files import write_ascii_matrix
 
     cfg = DEFAULT_CONFIG
     if args.input == "synthetic":
@@ -49,6 +47,30 @@ def cmd_process(args):
         planar = np.load(args.input)
     else:  # raw wire bytes
         planar = codec.decode_iq(open(args.input, "rb").read(), cfg)
+
+    if args.dump_stages:
+        # The reference's staged-golden methodology (SURVEY.md section 4):
+        # write every stage boundary as XXname.altb files.
+        import jax.numpy as jnp
+
+        from .constants import PipelineConstants
+        from . import pipeline as pl_mod
+
+        consts = PipelineConstants.build(cfg)
+        iq_c = jnp.asarray((planar[:, 0] + 1j * planar[:, 1]), jnp.complex64)
+        stages = pl_mod.all_stages(iq_c, consts)
+        from pathlib import Path
+
+        outdir = Path(args.dump_stages)
+        outdir.mkdir(parents=True, exist_ok=True)
+        for name, arr in stages.items():
+            arr = np.asarray(arr)
+            if np.iscomplexobj(arr):
+                arr = np.abs(arr)
+            write_ascii_matrix(outdir / f"{name}.altb",
+                               arr[0] if arr.ndim == 3 else arr)
+        print(f"stage dumps -> {outdir}", file=sys.stderr)
+
     proc = SectorProcessor(cfg, method=args.method)
     t0 = time.perf_counter()
     zdb, zdr = proc(planar[None])
@@ -61,6 +83,28 @@ def cmd_process(args):
         for a, b in zip(zdb, zdr):
             print(f"{a:g} {b:g}")
     return 0
+
+
+def cmd_compare(args):
+    """The reference's accuracy comparator (error.cpp:9-36) as a CLI:
+    relative L2 over mutually finite values of two result files."""
+    from . import oracle
+    from .io.files import read_ascii_matrix, read_be_float32_bin
+
+    def load(path):
+        if path.endswith(".bin"):
+            return read_be_float32_bin(path)
+        return read_ascii_matrix(path)
+
+    expected, actual = load(args.expected), load(args.actual)
+    if expected.shape != actual.shape:
+        print(f"shape mismatch: {expected.shape} vs {actual.shape}",
+              file=sys.stderr)
+        return 2
+    err = oracle.relative_l2(expected, actual)
+    print(json.dumps({"relative_l2": err, "threshold": args.threshold,
+                      "pass": err <= args.threshold}))
+    return 0 if err <= args.threshold else 1
 
 
 def cmd_stream(args):
@@ -180,7 +224,16 @@ def main(argv=None):
                    help="'synthetic', raw wire .bin, or planar .npy")
     p.add_argument("--output", default=None, help="99result-format output")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dump-stages", default=None, metavar="DIR",
+                   help="write per-stage .altb dumps (golden methodology)")
     p.set_defaults(fn=cmd_process)
+
+    p = sub.add_parser("compare",
+                       help="relative-L2 comparator (error.cpp equivalent)")
+    p.add_argument("expected")
+    p.add_argument("actual")
+    p.add_argument("--threshold", type=float, default=1e-4)
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("stream", help="streaming processor")
     _add_common(p)
