@@ -33,7 +33,7 @@ def main():
                     help="distinct device-staged batches scanned per repeat")
     ap.add_argument("--repeats", type=int, default=4,
                     help="sequential passes over the distinct batches")
-    ap.add_argument("--method", default="mxu", choices=["mxu", "radix", "fft"])
+    ap.add_argument("--method", default="pallas", choices=["mxu", "parseval", "pallas", "radix", "fft"])
     ap.add_argument("--matched-filter", default="direct",
                     choices=["direct", "fold", "spectral"])
     ap.add_argument("--verbose", action="store_true")
@@ -98,19 +98,56 @@ def main():
 
     steps = args.distinct * args.repeats
 
-    @jax.jit
-    def timed_passes(iq_all):
-        def one_batch(carry, iq_batch):
-            zdb, zdr = proc(iq_batch)
-            # consume every output element so no batch lane can be DCE'd
-            return carry + jnp.sum(zdb, axis=0) + jnp.sum(
-                jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0), None
+    if args.method == "pallas":
+        # Elision-proof loop for the fused kernel: Pallas inputs cannot
+        # alias a scanned slice (XLA would copy the whole batch in front of
+        # the kernel), so instead each step passes a *scalar offset* into
+        # the staged [D*B*C, 2, m, n] buffer via scalar prefetch — every
+        # step reads a different device-resident slab with zero copies and
+        # nothing is loop-invariant, so XLA cannot hoist the compute.
+        from wrp_tpu.constants import PipelineConstants
+        from wrp_tpu.ops.pallas.fullchain import (
+            split_operator_host, fused_chain_power_at)
+        from wrp_tpu.pipeline import stage09_10_products
 
-        def one_repeat(r, carry):
-            return lax.scan(one_batch, carry, iq_all)[0]
+        consts = PipelineConstants.build(cfg)
+        a_split = jax.device_put(split_operator_host(consts.op_a_half), dev)
+        wd_d = jax.device_put(consts.wd, dev)
+        ph_d = jax.device_put(consts.clip_phasors, dev)
+        gain_d = jax.device_put(consts.gain, dev)
+        bcn = args.batch * c
 
-        return lax.fori_loop(0, args.repeats,
-                             one_repeat, jnp.zeros(cfg.num_output_bins))
+        @jax.jit
+        def timed_passes(iq_all):
+            x_all = iq_all.reshape(args.distinct * bcn, 2, m, n)
+
+            def one_step(i, carry):
+                off = (i % args.distinct) * bcn
+                pw = fused_chain_power_at(
+                    x_all, off, bcn, a_split, wd_d, ph_d,
+                    row_block=min(512, cfg.num_output_bins),
+                    interpret=jax.default_backend() != "tpu")
+                pw = pw.reshape(args.batch, c, -1)
+                zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1], gain_d)
+                return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                    jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
+
+            return lax.fori_loop(0, steps, one_step,
+                                 jnp.zeros(cfg.num_output_bins))
+    else:
+        @jax.jit
+        def timed_passes(iq_all):
+            def one_batch(carry, iq_batch):
+                zdb, zdr = proc(iq_batch)
+                # consume every output element so no batch lane can be DCE'd
+                return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                    jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0), None
+
+            def one_repeat(r, carry):
+                return lax.scan(one_batch, carry, iq_all)[0]
+
+            return lax.fori_loop(0, args.repeats,
+                                 one_repeat, jnp.zeros(cfg.num_output_bins))
 
     t0 = time.perf_counter()
     np.asarray(timed_passes(dev_iq))

@@ -60,3 +60,21 @@ def test_fused_stage2_rejects_bad_blocking(setup):
         fused_stage2(jnp.asarray(yr), jnp.asarray(yi), jnp.asarray(br),
                      jnp.asarray(bi), consts.ma_taps, row_block=100,
                      interpret=True)
+
+
+def test_fused_chain_method_vs_oracle():
+    """method="pallas" (fused single-kernel chain, interpret mode on CPU)
+    matches the fp64 oracle's final products."""
+    import jax.numpy as jnp
+
+    from wrp_tpu import oracle, pipeline
+    from wrp_tpu.config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=7)
+    stages = oracle.all_stages(iq, cfg)
+    proc = pipeline.SectorProcessor(cfg, method="pallas")
+    zdb, zdr = proc(jnp.asarray(iq[None], jnp.complex64))
+    zdb, zdr = np.asarray(zdb[0]), np.asarray(zdr[0])
+    assert oracle.relative_l2(stages["09zdb"], zdb) < 2e-4
+    assert oracle.relative_l2(stages["10zdr"], zdr) < 2e-4

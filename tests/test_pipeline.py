@@ -121,3 +121,54 @@ def test_vh_channel_rides_along(full_cfg_data):
     z2 = pipeline.process_sectors(x2, consts, method="mxu")
     np.testing.assert_array_equal(np.asarray(z1[0]), np.asarray(z2[0]))
     np.testing.assert_array_equal(np.asarray(z1[1]), np.asarray(z2[1]))
+
+
+def test_parseval_method_vs_oracle(full_cfg_data):
+    """method="parseval": Gauss 3-pass A matmul + closed-form stages 03b-08
+    must match the fp64 oracle's final products like every other method."""
+    cfg, iq, stages = full_cfg_data
+    proc = pipeline.SectorProcessor(cfg, method="parseval")
+    zdb, zdr = proc(jnp.asarray(iq[None], jnp.complex64))
+    zdb, zdr = np.asarray(zdb[0]), np.asarray(zdr[0])
+    assert oracle.relative_l2(stages["09zdb"], zdb) < FP32_CHAIN_BOUND
+    assert oracle.relative_l2(stages["10zdr"], zdr) < FP32_CHAIN_BOUND
+
+
+def test_parseval_identity_exact_in_fp64():
+    """The Parseval stage-B collapse is an exact algebraic identity
+    (constants.parseval_vectors docstring), incl. a dominant DC line."""
+    from wrp_tpu.constants import stage1_operators, parseval_vectors
+
+    cfg = tiny_config(m=64, n=32)
+    n = cfg.num_pulses
+    A, B = stage1_operators(cfg, half=True)
+    rng = np.random.default_rng(3)
+    X = (rng.normal(size=(cfg.m, n)) + 1j * rng.normal(size=(cfg.m, n))
+         + 50.0)  # big DC offset stresses the cancellation path
+    Y = A @ X
+    want = np.sum(np.abs(Y @ B) ** 2, axis=-1)
+
+    wd, phasors = parseval_vectors(cfg)
+    q = Y * wd[None, :]
+    q = q - q.mean(axis=-1, keepdims=True)
+    got = n * np.sum(np.abs(q) ** 2, axis=-1)
+    for c, s in ((0, 1), (2, 3)):
+        d = q @ (phasors[c] + 1j * phasors[s])
+        got = got - np.abs(d) ** 2
+    assert oracle.relative_l2(want, got) < 1e-12
+
+
+def test_parseval_matches_mxu_fold():
+    """parseval == mxu+fold on random planar batches (fp32, CPU)."""
+    cfg = tiny_config(m=64, n=32)
+    rng = np.random.default_rng(11)
+    planar = rng.integers(
+        -8192, 8192, (3, cfg.num_channels, 2, cfg.m, cfg.n)
+    ).astype(np.float32)
+    a = pipeline.SectorProcessor(cfg, method="mxu", matched_filter="fold")
+    b = pipeline.SectorProcessor(cfg, method="parseval")
+    za, _ = a(planar)
+    zb, _ = b(planar)
+    za, zb = np.asarray(za), np.asarray(zb)
+    fin = np.isfinite(za) & np.isfinite(zb)
+    assert oracle.relative_l2(za[fin], zb[fin]) < 2e-5

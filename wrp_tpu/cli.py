@@ -27,7 +27,7 @@ import numpy as np
 
 def _add_common(p):
     p.add_argument("--method", default="mxu",
-                   choices=["mxu", "radix", "fft"])
+                   choices=["mxu", "parseval", "pallas", "radix", "fft"])
     p.add_argument("--log-level", default="INFO")
     p.add_argument("--structured-logs", action="store_true")
 

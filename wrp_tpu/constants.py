@@ -129,6 +129,32 @@ def stage1_operators(cfg: RadarConfig, half: bool = False):
     return A, B
 
 
+def parseval_vectors(cfg: RadarConfig):
+    """Constants for the Parseval form of stages 03b-08 (pipeline method
+    "parseval"): the final products only need the pulse-summed power
+    sum_j |(Y B)[i, j]|^2, and B = diag(w_d) (I - J/n) conj(F_n) P M is a
+    windowed mean-subtracting DFT with two clipped bins, so by Parseval
+
+        pow[i] = n * sum_j |q_ij - qbar_i|^2 - |q_i . f_k1|^2 - |q_i . f_k2|^2
+
+    with q = Y row * w_d, and f_k[j] = exp(2 pi i j k / n) the two DFT
+    columns (k = n/2-2, n/2-1) that the post-fftshift clip removes
+    (read.cc:212-224).  Exact in exact arithmetic (validated to 2e-14 in
+    fp64, tests/test_pipeline.py); eliminates the [n, n] Doppler matmul.
+
+    Returns (w_d [n] float64, phasors [4, n] float64) where phasors rows
+    are (cos k1, sin k1, cos k2, sin k2).
+    """
+    n = cfg.num_pulses
+    _, wd, _ = hamming_factors(cfg)
+    j = np.arange(n, dtype=np.float64)
+    rows = []
+    for k in (n // 2 - 2, n // 2 - 1):
+        ang = 2.0 * np.pi * j * k / n
+        rows += [np.cos(ang), np.sin(ang)]
+    return wd, np.stack(rows)
+
+
 # ---------------------------------------------------------------------------
 # Bundled constants object handed to the pipelines.
 # ---------------------------------------------------------------------------
@@ -144,11 +170,14 @@ class PipelineConstants:
     gain: np.ndarray           # [m/2] float (stage 09 range gain)
     op_a_half: np.ndarray      # [m/2, m] complex  (MXU path)
     op_b: np.ndarray           # [n, n] complex    (MXU path)
+    wd: np.ndarray             # [n] float         (parseval path)
+    clip_phasors: np.ndarray   # [4, n] float      (parseval path)
 
     @classmethod
     def build(cls, cfg: RadarConfig, dtype=np.float32) -> "PipelineConstants":
         cdtype = np.complex64 if dtype == np.float32 else np.complex128
         a_half, b = stage1_operators(cfg, half=True)
+        wd, phasors = parseval_vectors(cfg)
         return cls(
             hamming=hamming_coefficients(cfg).astype(dtype),
             ma_taps=ma_coefficients(cfg).astype(dtype),
@@ -156,6 +185,8 @@ class PipelineConstants:
             gain=range_gain(cfg).astype(dtype),
             op_a_half=a_half.astype(cdtype),
             op_b=b.astype(cdtype),
+            wd=wd.astype(dtype),
+            clip_phasors=phasors.astype(dtype),
         )
 
 

@@ -126,6 +126,54 @@ def _rmatmul(ar, ai, br, bi, precision):
     return dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br)
 
 
+def _rmatmul_gauss(ar, ai, asum, br, bi, precision):
+    """Gauss/Karatsuba complex matmul: 3 real MXU passes instead of 4.
+
+    (ar + i ai)(br + i bi) with m1 = ar br, m2 = ai bi,
+    m3 = (ar + ai)(br + bi); real = m1 - m2, imag = m3 - m1 - m2.
+    `asum = ar + ai` is precomputed (the A operator is constant).  The
+    m3 - m1 - m2 cancellation costs ~1 extra ulp; measured end-to-end
+    accuracy is within 2x of the 4-pass form (tests/test_pipeline.py).
+    """
+    dot = functools.partial(jnp.matmul, precision=precision)
+    m1 = dot(ar, br)
+    m2 = dot(ai, bi)
+    m3 = dot(asum, br + bi)
+    return m1 - m2, m3 - m1 - m2
+
+
+def stage_b_parseval(yr: Array, yi: Array, wd: Array, phasors: Array,
+                     precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Stages 03b-08 in closed form (constants.parseval_vectors): the pulse
+    sum of matched-filter power equals, by Parseval on the Doppler DFT,
+
+        pow[i] = n * sum_j |q_ij - qbar_i|^2
+                 - |q_i . f_k1|^2 - |q_i . f_k2|^2          (q = y * w_d)
+
+    i.e. one fused VPU sweep over Y plus a [*, n] @ [n, 4] skinny matmul
+    for the two clipped Doppler bins — no [n, n] matmul, no conv pass.
+    (sum(ma_taps) == 1 exactly, so the matched-filter fold factor is 1.)
+    The mean is subtracted *before* the clip-bin dot products (f_k is
+    orthogonal to the all-ones vector, so this is exact) to avoid
+    catastrophic cancellation when the DC/clutter line dominates."""
+    n = yr.shape[-1]
+    qr = yr * wd
+    qi = yi * wd
+    qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
+    qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
+    s = n * jnp.sum(qr * qr + qi * qi, axis=-1)
+    # d[..., 0:2] = q . (cos_k, sin_k) for k1; 2:4 for k2.
+    dot = functools.partial(jnp.matmul, precision=precision)
+    dr = dot(qr, phasors.T)             # [..., 4]
+    di = dot(qi, phasors.T)
+    # |q . f_k|^2 = (qr.c - qi.s)^2 + (qr.s + qi.c)^2
+    for c, sn in ((0, 1), (2, 3)):
+        re = dr[..., c] - di[..., sn]
+        im = dr[..., sn] + di[..., c]
+        s = s - (re * re + im * im)
+    return s
+
+
 def stage01_04_mxu_planar(xr: Array, xi: Array, op_a: tuple, op_b: tuple,
                           precision=jax.lax.Precision.HIGHEST) -> Array:
     """Planar IQ ([..., m, n] real, imag) -> power [..., m/2, n] via
@@ -184,6 +232,14 @@ def channel_power_planar(
             (jnp.real(b), jnp.imag(b)),
             precision,
         )
+    elif method == "parseval":
+        # Fastest path: Gauss 3-pass A matmul + closed-form stages 03b-08.
+        # Implies the matched-filter fold (final products identical).
+        ar = jnp.asarray(np.ascontiguousarray(consts.op_a_half.real))
+        ai = jnp.asarray(np.ascontiguousarray(consts.op_a_half.imag))
+        yr, yi = _rmatmul_gauss(ar, ai, ar + ai, xr, xi, precision)
+        return stage_b_parseval(yr, yi, jnp.asarray(consts.wd),
+                                jnp.asarray(consts.clip_phasors), precision)
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -295,10 +351,16 @@ def default_precision_name() -> str:
     static_argnames=("ma_taps_tuple", "method", "matched_filter", "precision"),
 )
 def _process_planar_jit(iq_planar, hamming, ma_taps_tuple, fft_ma, gain,
-                        op_ar, op_ai, op_br, op_bi, method, matched_filter,
-                        precision="highest"):
+                        op_ar, op_ai, op_br, op_bi, op_asum, wd, phasors,
+                        method, matched_filter, precision="highest"):
     xr = iq_planar[..., 0, :, :]
     xi = iq_planar[..., 1, :, :]
+    if method == "parseval":
+        prec = PRECISIONS[precision]
+        yr, yi = _rmatmul_gauss(op_ar, op_ai, op_asum, xr, xi, prec)
+        pow_all = stage_b_parseval(yr, yi, wd, phasors, prec)
+        return stage09_10_products(pow_all[..., 0, :], pow_all[..., 1, :],
+                                   gain)
     if method == "mxu":
         p = stage01_04_mxu_planar(xr, xi, (op_ar, op_ai), (op_br, op_bi),
                                   PRECISIONS[precision])
@@ -368,6 +430,8 @@ class SectorProcessor:
         precision: str | None = None,
     ):
         self.cfg = cfg
+        if method == "pallas":
+            self._pallas_fn = self._build_pallas_fn(cfg, device)
         if method == "radix":
             from .ops.dft import RadixStageOperators
 
@@ -393,7 +457,32 @@ class SectorProcessor:
             put(np.ascontiguousarray(consts.op_a_half.imag)),
             put(np.ascontiguousarray(consts.op_b.real)),
             put(np.ascontiguousarray(consts.op_b.imag)),
+            put(np.ascontiguousarray(consts.op_a_half.real
+                                     + consts.op_a_half.imag)),
+            put(consts.wd),
+            put(consts.clip_phasors),
         )
+
+    def _build_pallas_fn(self, cfg: RadarConfig, device):
+        """Fused single-kernel chain (ops/pallas/fullchain.py): Gauss
+        complex matmul + Parseval epilogue, all VMEM-resident.  Falls back
+        to interpret mode off-TPU (tests)."""
+        from .ops.pallas.fullchain import build_pallas_processor
+
+        consts = PipelineConstants.build(cfg)
+        interpret = jax.default_backend() != "tpu"
+        row_block = min(512, cfg.num_output_bins)
+        power_fn = build_pallas_processor(consts, row_block=row_block,
+                                          interpret=interpret)
+        gain = jnp.asarray(consts.gain)
+
+        @jax.jit
+        def fn(iq_planar):
+            pow_all = power_fn(iq_planar)
+            return stage09_10_products(pow_all[..., 0, :],
+                                       pow_all[..., 1, :], gain)
+
+        return fn
 
     def _build_radix_fn(self, consts: PipelineConstants):
         """Per-instance jit for the radix method (its operator tables are
@@ -429,9 +518,12 @@ class SectorProcessor:
                 f"planar IQ must end in [channels, 2, m, n] = {expect}, "
                 f"got {tuple(iq.shape)}"
             )
+        if self.method == "pallas":
+            return self._pallas_fn(iq)
         if self.method == "radix":
             return self._radix_fn(iq)
-        h, taps, fm, g, ar, ai, br, bi = self._dev_consts
+        h, taps, fm, g, ar, ai, br, bi, asum, wd, ph = self._dev_consts
         return _process_planar_jit(iq, h, taps, fm, g, ar, ai, br, bi,
+                                   asum, wd, ph,
                                    self.method, self.matched_filter,
                                    self.precision)
