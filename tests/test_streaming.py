@@ -34,8 +34,9 @@ def _wire_sectors(cfg, n, seed=0):
     return out
 
 
-def test_udp_loopback_single_sector(cfg):
-    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+@pytest.mark.parametrize("native", [False, True])
+def test_udp_loopback_single_sector(cfg, native):
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0, native=native)
     producer = UdpProducer(cfg, port=ingest.local_port)
     (iq, wire), = _wire_sectors(cfg, 1)
     producer.send_sector(wire)
@@ -49,10 +50,11 @@ def test_udp_loopback_single_sector(cfg):
     producer.close()
 
 
-def test_udp_extended_headers_and_reorder(cfg):
+@pytest.mark.parametrize("native", [False, True])
+def test_udp_extended_headers_and_reorder(cfg, native):
     """Rows carrying explicit indices are placed correctly even when sent
     out of order — impossible in the reference's bare format."""
-    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0, native=native)
     sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     (iq, wire), = _wire_sectors(cfg, 1)
     rb = cfg.datagram_nbytes
@@ -69,18 +71,20 @@ def test_udp_extended_headers_and_reorder(cfg):
     sock.close()
 
 
-def test_udp_timeout_returns_idle(cfg):
-    ingest = UdpIngest(cfg, port=0, timeout_s=0.05)
+@pytest.mark.parametrize("native", [False, True])
+def test_udp_timeout_returns_idle(cfg, native):
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.05, native=native)
     buf, header = ingest.recv_sector()
     assert buf is None and header is None
     assert ingest.stats.timeouts == 1
     ingest.close()
 
 
-def test_udp_partial_sector_drop(cfg):
+@pytest.mark.parametrize("native", [False, True])
+def test_udp_partial_sector_drop(cfg, native):
     """A producer dying mid-sector must raise (and count a drop), not hang
     forever like the reference's blocking recvfrom."""
-    ingest = UdpIngest(cfg, port=0, timeout_s=0.1)
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.1, native=native)
     producer = UdpProducer(cfg, port=ingest.local_port)
     (_, wire), = _wire_sectors(cfg, 1)
     rb = cfg.datagram_nbytes

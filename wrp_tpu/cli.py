@@ -120,6 +120,12 @@ def cmd_stream(args):
                               timeout_s=args.timeout)
         publish = UdpEgress(cfg, zdb_port=args.zdb_port,
                             zdr_port=args.zdr_port)
+    elif args.transport == "tcp":
+        from .io.tcp import TcpIngest, TcpEgress
+
+        transport = TcpIngest(cfg, port=args.ingest_port,
+                              timeout_s=args.timeout)
+        publish = TcpEgress(cfg, port=args.result_port)
     else:
         from .io.zmq_io import ZmqIngest, ZmqEgress
 
@@ -153,6 +159,10 @@ def cmd_produce(args):
 
         producer = UdpProducer(cfg, host=args.host, port=args.ingest_port,
                                extended_headers=args.headers)
+    elif args.transport == "tcp":
+        from .io.tcp import TcpProducer
+
+        producer = TcpProducer(cfg, host=args.host, port=args.ingest_port)
     else:
         from .io.zmq_io import ZmqProducer
 
@@ -197,6 +207,21 @@ def cmd_consume(args):
             sector, values = frames.unpack_result_v1(buf)
             print(f"sector {sector}: {values[:4]} ...")
             got += 1
+    elif args.transport == "tcp":
+        from .io.tcp import TcpResultConsumer
+
+        consumer = TcpResultConsumer(cfg, port=args.port,
+                                     timeout_s=args.timeout)
+        got = 0
+        while got < args.count:
+            item = consumer.recv()
+            if item is None:
+                break
+            topic, sector, elevation, values = item
+            print(f"{topic.decode()}: sector {sector} elev {elevation}: "
+                  f"{values[:4]} ...")
+            got += 1
+        consumer.close()
     else:
         from .io.zmq_io import ZmqResultConsumer
 
@@ -237,7 +262,7 @@ def main(argv=None):
 
     p = sub.add_parser("stream", help="streaming processor")
     _add_common(p)
-    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--timeout", type=float, default=5.0)
     p.add_argument("--ingest-port", type=int, default=None)
@@ -245,6 +270,8 @@ def main(argv=None):
     p.add_argument("--zdr-port", type=int, default=None)
     p.add_argument("--zmq-sub", default=None)
     p.add_argument("--zmq-pub", default=None)
+    p.add_argument("--result-port", type=int, default=None,
+                   help="tcp transport: result collector port")
     p.add_argument("--checkpoint", default=None, help="volume .npz path")
     p.add_argument("--debug-sync", action="store_true",
                    help="validate numerics every batch (rpv2 gpuErrchk mode)")
@@ -254,7 +281,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("produce", help="replay sectors onto the wire")
-    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--sectors", type=int, default=143)
     p.add_argument("--rate", type=float, default=0.0, help="sectors/s cap")
     p.add_argument("--seed", type=int, default=0)
@@ -267,7 +294,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("consume", help="receive result frames")
-    p.add_argument("--transport", default="udp", choices=["udp", "zmq"])
+    p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--count", type=int, default=10)
     p.add_argument("--timeout", type=float, default=5.0)
     p.add_argument("--port", type=int, default=None)

@@ -42,6 +42,8 @@ class RadarConfig:
     zmq_ingest_topic: bytes = b"A"
     zmq_zdb_topic: bytes = b"B"
     zmq_zdr_topic: bytes = b"C"
+    tcp_ingest_port: int = 19011       # tcp.{h,cpp} equivalent (io/tcp.py)
+    tcp_result_port: int = 19012
 
     # ------------------------------------------------------------------
     @property

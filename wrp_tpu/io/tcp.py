@@ -1,0 +1,217 @@
+"""TCP stream transport — the working equivalent of the reference's built-
+but-unused tcp.{h,cpp} (localhost client/server with echo-ack, tcp.cpp:46-51,
+96-101; never linked into a pipeline).
+
+Topology matches the reference's localhost dataflow (SURVEY.md section 1):
+the processor *listens* for the producer (like udpserver) and *connects* to
+result consumers (like udpclient).  TCP gives what the UDP wire could not —
+no datagram loss, no reordering — at the cost of head-of-line blocking, so
+it suits replay/test topologies more than live radar feeds.
+
+Framing: every message is [u32 BE length][payload].
+  ingest payload:  [u16 BE sector][u16 BE elevation][sector wire bytes]
+  result payload:  [u8 topic 'B'|'C'][v2 result frame]  (frames.pack_result_v2)
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+from . import frames
+
+_LEN = struct.Struct(">I")
+_ING = struct.Struct(">HH")
+
+
+def _recv_exact(sock: socket.socket, nbytes: int) -> Optional[bytes]:
+    """Read exactly nbytes; None on clean EOF.  Raises socket.timeout."""
+    chunks = []
+    remaining = nbytes
+    while remaining:
+        chunk = sock.recv(remaining)
+        if not chunk:
+            return None
+        chunks.append(chunk)
+        remaining -= len(chunk)
+    return b"".join(chunks)
+
+
+def _send_msg(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_LEN.pack(len(payload)) + payload)
+
+
+def _recv_msg(sock: socket.socket) -> Optional[bytes]:
+    head = _recv_exact(sock, _LEN.size)
+    if head is None:
+        return None
+    (length,) = _LEN.unpack(head)
+    return _recv_exact(sock, length)
+
+
+class TcpIngest:
+    """Listening sector server; one producer connection at a time.
+
+    recv_sector() -> (wire bytes, IngestHeader) | (None, None) on idle
+    timeout or producer disconnect."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 port: int | None = None, host: str = "",
+                 timeout_s: Optional[float] = None):
+        self.cfg = cfg
+        self.port = port if port is not None else cfg.tcp_ingest_port
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((host, self.port))
+        self._listener.listen(1)
+        self._listener.settimeout(timeout_s)
+        self._timeout_s = timeout_s
+        self._conn: Optional[socket.socket] = None
+
+    @property
+    def local_port(self) -> int:
+        return self._listener.getsockname()[1]
+
+    def _accept(self) -> bool:
+        try:
+            self._conn, _ = self._listener.accept()
+        except socket.timeout:
+            return False
+        self._conn.settimeout(self._timeout_s)
+        self._conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return True
+
+    def recv_sector(self):
+        if self._conn is None and not self._accept():
+            return None, None
+        try:
+            msg = _recv_msg(self._conn)
+        except socket.timeout:
+            return None, None
+        if msg is None:  # producer closed; await the next one
+            self._conn.close()
+            self._conn = None
+            return None, None
+        sector, elevation = _ING.unpack_from(msg, 0)
+        return msg[_ING.size:], frames.IngestHeader(sector, elevation, row=0)
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+        self._listener.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TcpProducer:
+    """Connects to a TcpIngest and streams framed sectors."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 host: str = "127.0.0.1", port: int | None = None,
+                 connect_timeout_s: float = 5.0):
+        self.cfg = cfg
+        self._sock = socket.create_connection(
+            (host, port if port is not None else cfg.tcp_ingest_port),
+            timeout=connect_timeout_s)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def send_sector(self, wire: bytes, sector: int = 0,
+                    elevation: int = 0) -> None:
+        _send_msg(self._sock, _ING.pack(sector, elevation) + bytes(wire))
+
+    def close(self):
+        self._sock.close()
+
+
+class TcpEgress:
+    """Connects to a result collector and pushes topic-tagged v2 frames
+    ('B' = zdb, 'C' = zdr, matching the ZMQ topics, rpv2.cu:216-220).
+    Connection is lazy and reconnect-on-failure: the processor must not
+    die because a visualiser restarted."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 host: str = "127.0.0.1", port: int | None = None):
+        self.cfg = cfg
+        self.addr = (host, port if port is not None else cfg.tcp_result_port)
+        self._sock: Optional[socket.socket] = None
+
+    def _ensure(self) -> bool:
+        if self._sock is not None:
+            return True
+        try:
+            self._sock = socket.create_connection(self.addr, timeout=2.0)
+            self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            return True
+        except OSError:
+            self._sock = None
+            return False
+
+    def send(self, sector: int, elevation: int, zdb: np.ndarray,
+             zdr: np.ndarray) -> None:
+        if not self._ensure():
+            return
+        try:
+            for topic, values in ((b"B", zdb), (b"C", zdr)):
+                _send_msg(self._sock,
+                          topic + frames.pack_result_v2(sector, elevation,
+                                                        values))
+        except OSError:
+            self._sock.close()
+            self._sock = None
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+
+
+class TcpResultConsumer:
+    """Listening result collector (visualiser stand-in)."""
+
+    def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
+                 port: int | None = None, host: str = "",
+                 timeout_s: Optional[float] = 5.0):
+        self.cfg = cfg
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((host, port if port is not None
+                             else cfg.tcp_result_port))
+        self._listener.listen(1)
+        self._listener.settimeout(timeout_s)
+        self._timeout_s = timeout_s
+        self._conn: Optional[socket.socket] = None
+
+    @property
+    def local_port(self) -> int:
+        return self._listener.getsockname()[1]
+
+    def recv(self):
+        """-> (topic bytes, sector, elevation, values) | None on timeout."""
+        if self._conn is None:
+            try:
+                self._conn, _ = self._listener.accept()
+            except socket.timeout:
+                return None
+            self._conn.settimeout(self._timeout_s)
+        try:
+            msg = _recv_msg(self._conn)
+        except socket.timeout:
+            return None
+        if msg is None:
+            self._conn.close()
+            self._conn = None
+            return None
+        sector, elevation, values = frames.unpack_result_v2(msg[1:])
+        return msg[:1], sector, elevation, values
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+        self._listener.close()

@@ -48,7 +48,10 @@ class UdpIngest:
         host: str = "",
         timeout_s: Optional[float] = None,
         rcvbuf_bytes: int = 1 << 24,
+        native: Optional[bool] = None,
     ):
+        """native: use the C++ GIL-free reassembly loop (native/ingest.cpp).
+        None = auto (native when the library builds)."""
         self.cfg = cfg
         self.port = port if port is not None else cfg.udp_ingest_port
         self.stats = IngestStats()
@@ -61,7 +64,24 @@ class UdpIngest:
         except OSError:
             pass
         self._sock.bind((host, self.port))
-        self._sock.settimeout(timeout_s)
+        self._native = None
+        if native is None or native:
+            try:
+                from ..native import ingest_native
+
+                self._native = ingest_native
+            except ImportError:
+                if native:
+                    raise
+        if self._native is not None:
+            # the C++ loop uses SO_RCVTIMEO on a blocking socket
+            self._sock.setblocking(True)
+            self._timeout_ms = (int(timeout_s * 1000)
+                                if timeout_s is not None else -1)
+            self._nstats = np.zeros(4, np.int64)
+            self._nhdr = np.zeros(3, np.int32)
+        else:
+            self._sock.settimeout(timeout_s)
         # room for an extended header in front of a row payload
         self._scratch = bytearray(self._row_bytes + frames.IngestHeader.SIZE)
 
@@ -81,6 +101,8 @@ class UdpIngest:
         cfg = self.cfg
         m = cfg.num_range_cells
         buf = out if out is not None else bytearray(cfg.sector_nbytes_wire)
+        if self._native is not None:
+            return self._recv_sector_native(buf, m)
         view = memoryview(buf)
         first_header = None
         rows = 0
@@ -123,6 +145,33 @@ class UdpIngest:
             rows += 1
         self.stats.sectors += 1
         return buf, first_header
+
+    def _recv_sector_native(self, buf, m):
+        """GIL-free C++ reassembly (native/ingest.cpp) with the same
+        return/resync semantics as the Python loop."""
+        st = self._nstats
+        before = st.copy()
+        rc = self._native.recv_sector(
+            self._sock.fileno(), self._timeout_ms, buf, m, self._row_bytes,
+            st, self._nhdr,
+        )
+        d = st - before
+        self.stats.datagrams += int(d[0])
+        self.stats.dropped_datagrams += int(d[1])
+        self.stats.dropped_sectors += int(d[2])
+        self.stats.timeouts += int(d[3])
+        if rc == 0:
+            return None, None
+        if rc == -1:
+            raise TimeoutError("sector stalled mid-receive")
+        if rc == -2:
+            raise OSError("native ingest socket error")
+        self.stats.sectors += 1
+        header = None
+        if self._nhdr[0]:
+            header = frames.IngestHeader(int(self._nhdr[1]),
+                                         int(self._nhdr[2]), row=0)
+        return buf, header
 
     def close(self):
         self._sock.close()

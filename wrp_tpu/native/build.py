@@ -10,17 +10,17 @@ import subprocess
 from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
-SRC = HERE / "codec.cpp"
+SRCS = [HERE / "codec.cpp", HERE / "ingest.cpp"]
 LIB = HERE / "libwrpcodec.so"
 
 
 def build(force: bool = False) -> Path:
     if LIB.exists() and not force:
-        if LIB.stat().st_mtime >= SRC.stat().st_mtime:
+        if LIB.stat().st_mtime >= max(s.stat().st_mtime for s in SRCS):
             return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
-        "-std=c++17", "-pthread", str(SRC), "-o", str(LIB),
+        "-std=c++17", "-pthread", *map(str, SRCS), "-o", str(LIB),
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return LIB
