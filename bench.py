@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--method", default="pallas", choices=["mxu", "parseval", "pallas", "radix", "fft"])
     ap.add_argument("--matched-filter", default="direct",
                     choices=["direct", "fold", "spectral"])
+    ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
+                    help="staged input dtype; default i16 for the pallas "
+                         "method (the wire-native compact feed, halves "
+                         "HBM input reads), f32 otherwise")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed pass "
@@ -69,12 +73,16 @@ def main():
 
     rng = np.random.default_rng(0)
     c, m, n = cfg.sector_shape
-    # Planar float32 IQ [D, B, C, 2, m, n] — D distinct device-staged
-    # batches so every scanned step reads fresh data (no loop-invariant
-    # computation for XLA to hoist, no perturbation artifact).
+    if args.in_dtype is None:
+        args.in_dtype = "i16" if args.method == "pallas" else "f32"
+    in_dtype = np.int16 if args.in_dtype == "i16" else np.float32
+    # Planar IQ [D, B, C, 2, m, n] — D distinct device-staged batches so
+    # every scanned step reads fresh data (no loop-invariant computation
+    # for XLA to hoist, no perturbation artifact).  int16 is the
+    # wire-native 14-bit-ADC feed (io/codec.decode_iq_i16).
     host_iq = rng.integers(
         -8192, 8192, (args.distinct, args.batch, c, 2, m, n)
-    ).astype(np.float32)
+    ).astype(in_dtype)
 
     def fetch(out):
         """Force true completion: block_until_ready is not a reliable sync
@@ -179,6 +187,7 @@ def main():
         "batch": args.batch,
         "steps": steps,
         "method": args.method,
+        "in_dtype": args.in_dtype,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

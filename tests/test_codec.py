@@ -107,3 +107,40 @@ def test_decode_matches_scalar_reference_loop(rng):
                     if val >= 32768:
                         val -= 65536
                     assert planar[ch, part, i, j] == np.float32(val)
+
+
+def test_decode_iq_i16_matches_f32():
+    """The compact int16 device feed decodes to the same values as the
+    float32 path (both native and numpy implementations)."""
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+
+    cfg = tiny_config(m=16, n=8)
+    rng = np.random.default_rng(5)
+    iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+          + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+    wire = codec.encode_iq(iq, cfg)
+    p16 = codec.decode_iq_i16(wire, cfg)
+    assert p16.dtype == np.int16
+    np.testing.assert_array_equal(p16.astype(np.float32),
+                                  codec.decode_iq(wire, cfg))
+
+
+def test_pipeline_accepts_i16_planar():
+    import jax.numpy as jnp
+
+    from wrp_tpu import oracle
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+    from wrp_tpu.pipeline import SectorProcessor
+
+    cfg = tiny_config(m=64, n=32)
+    rng = np.random.default_rng(6)
+    iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+          + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+    zdb64, _ = oracle.process_sector(iq, cfg)
+    p16 = codec.decode_iq_i16(codec.encode_iq(iq, cfg), cfg)
+    for method in ("mxu", "pallas"):
+        proc = SectorProcessor(cfg, method=method)
+        zdb, _ = proc(p16[None])
+        assert oracle.relative_l2(zdb64, np.asarray(zdb)[0]) < 1e-5

@@ -45,6 +45,27 @@ def decode_iq(buf: bytes | bytearray | memoryview | np.ndarray,
     return out
 
 
+def decode_iq_i16(buf: bytes | bytearray | memoryview | np.ndarray,
+                  cfg: RadarConfig = DEFAULT_CONFIG,
+                  planar_out: np.ndarray | None = None) -> np.ndarray:
+    """Wire bytes -> int16 planar IQ [channels, 2(I/Q), m, n].
+
+    The compact device-feed layout: the 14-bit ADC samples ARE int16, so
+    shipping int16 to the device halves host->device bytes and the compute
+    kernel's HBM input read; conversion to f32 happens on-chip (in VMEM for
+    the fused Pallas path)."""
+    m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    if _native is not None:
+        return _native.decode_iq_i16(buf, m, n, ch, out=planar_out)
+    expected = m * n * cfg.bytes_per_sample
+    raw = np.frombuffer(buf, dtype=">i2", count=expected // 2)
+    shaped = raw.reshape(m, n, ch, 2)
+    out = planar_out if planar_out is not None else np.empty(
+        (ch, 2, m, n), np.int16)
+    np.copyto(out, shaped.transpose(2, 3, 0, 1))
+    return out
+
+
 def to_complex(planar: np.ndarray) -> np.ndarray:
     """[C, 2, m, n] float32 -> [C, m, n] complex64."""
     return (planar[:, 0] + 1j * planar[:, 1]).astype(np.complex64)

@@ -61,6 +61,31 @@ void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
   for (auto &t : pool) t.join();
 }
 
+// wire BE int16 interleaved -> int16 planar (compact device-feed layout:
+// halves H2D bytes vs float32; the device converts on-chip).
+void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
+                       int64_t n, int64_t ch, int32_t num_threads) {
+  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
+  const size_t stride = static_cast<size_t>(ch) * 4;
+  const int planes = static_cast<int>(ch) * 2;
+  auto decode = [=](int p) {
+    const uint8_t *src = wire + static_cast<size_t>(p) * 2;
+    int16_t *dst = out + static_cast<size_t>(p) * samples;
+    for (size_t s = 0; s < samples; ++s) {
+      dst[s] = be16(src);
+      src += stride;
+    }
+  };
+  if (num_threads <= 1 || planes <= 1) {
+    for (int p = 0; p < planes; ++p) decode(p);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(planes);
+  for (int p = 0; p < planes; ++p) pool.emplace_back(decode, p);
+  for (auto &t : pool) t.join();
+}
+
 // planar float32 [ch][2][m][n] -> wire BE int16 interleaved (producer side).
 void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
                    int64_t ch) {

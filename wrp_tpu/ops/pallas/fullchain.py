@@ -76,8 +76,10 @@ def _kernel(n, x_ref, a_ref, wd_ref, ph_ref, pow_ref, xs_ref):
 
     @pl.when(r == 0)
     def _():
-        xr = x_ref[0, 0]
-        xi = x_ref[0, 1]
+        # int16 planar input (the compact wire-native feed) converts to
+        # f32 here in VMEM; f32 input passes through unchanged.
+        xr = x_ref[0, 0].astype(jnp.float32)
+        xi = x_ref[0, 1].astype(jnp.float32)
         for k, v in enumerate((xr, xi, xr + xi)):
             hi, lo = _split_bf16(v)
             xs_ref[2 * k] = hi

@@ -353,8 +353,9 @@ def default_precision_name() -> str:
 def _process_planar_jit(iq_planar, hamming, ma_taps_tuple, fft_ma, gain,
                         op_ar, op_ai, op_br, op_bi, op_asum, wd, phasors,
                         method, matched_filter, precision="highest"):
-    xr = iq_planar[..., 0, :, :]
-    xi = iq_planar[..., 1, :, :]
+    # int16 planar input (compact device feed) casts on-device; f32 no-op.
+    xr = iq_planar[..., 0, :, :].astype(jnp.float32)
+    xi = iq_planar[..., 1, :, :].astype(jnp.float32)
     if method == "parseval":
         prec = PRECISIONS[precision]
         yr, yi = _rmatmul_gauss(op_ar, op_ai, op_asum, xr, xi, prec)
