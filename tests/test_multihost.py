@@ -1,0 +1,125 @@
+"""Real multi-process mesh test: 2 processes x 4 virtual CPU devices form
+one 8-device global mesh (gloo collectives), each process feeds its own
+host-local sector batch and collects its own products — the multi-host
+topology of parallel/multihost.py without a pod (SURVEY.md section 4:
+'multi-node testing without a cluster')."""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from wrp_tpu.config import tiny_config
+from wrp_tpu import oracle, pipeline
+from wrp_tpu.parallel.multihost import MultiHostProcessor, init_distributed
+
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+assert jax.device_count() == 4 * nproc, jax.device_count()
+
+cfg = tiny_config(m=64, n=32)
+B = 4  # per-host batch
+rng = np.random.default_rng(100 + pid)   # DIFFERENT data per host
+iq = (rng.integers(-2048, 2048, (B, *cfg.sector_shape))
+      + 1j * rng.integers(-2048, 2048, (B, *cfg.sector_shape)))
+planar = pipeline.to_planar(iq.astype(np.complex64))
+
+proc = MultiHostProcessor.build(cfg, per_host_batch=B, method="mxu")
+zdb, zdr = proc.step_local(planar)
+assert zdb.shape == (B, cfg.num_output_bins), zdb.shape
+
+for k in range(B):
+    zdb64, zdr64 = oracle.process_sector(iq[k], cfg)
+    e = oracle.relative_l2(zdb64, zdb[k])
+    assert e < 1e-4, (pid, k, e)
+print(f"MULTIHOST_OK pid={pid}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_mesh():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), "2", str(port)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and "MULTIHOST_OK" in out, (rc, out, err[-2000:])
+
+
+def test_two_host_lockstep_streaming():
+    """Two `cli stream` processes form one mesh (--coordinator); each host
+    ingests its own UDP feed and publishes its own sectors' products —
+    the reference's producer->processor->consumer dataflow sharded 2 ways."""
+    coord_port = _free_port()
+    hosts = []
+    ports = [(_free_port(), _free_port(), _free_port()) for _ in range(2)]
+    for pid in range(2):
+        ing, zdb, zdr = ports[pid]
+        env = {
+            "JAX_PLATFORM_NAME": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "PYTHONPATH": str(REPO),
+        }
+        hosts.append(subprocess.Popen(
+            [sys.executable, "-m", "wrp_tpu.cli", "stream",
+             "--transport", "udp", "--ingest-port", str(ing),
+             "--zdb-port", str(zdb), "--zdr-port", str(zdr),
+             "--batch", "2", "--max-sectors", "2", "--timeout", "60",
+             "--coordinator", f"127.0.0.1:{coord_port}",
+             "--num-hosts", "2", "--host-id", str(pid)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env))
+
+    import time
+
+    time.sleep(20)  # mesh join + compile + sockets up (tiny default geometry
+    # is not used here: full geometry compile on CPU takes a few seconds)
+    for pid in range(2):
+        subprocess.run(
+            [sys.executable, "-m", "wrp_tpu.cli", "produce",
+             "--transport", "udp", "--ingest-port", str(ports[pid][0]),
+             "--sectors", "2", "--headers"],
+            cwd=REPO, check=True, capture_output=True, timeout=120)
+
+    import json
+
+    for pid, p in enumerate(hosts):
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        assert p.returncode == 0, (pid, out[-500:], err[-2000:])
+        stats = json.loads(out)
+        assert stats["processed_sectors"] == 2, (pid, stats)

@@ -134,11 +134,23 @@ def cmd_stream(args):
             timeout_ms=int(args.timeout * 1e3) if args.timeout else None)
         publish = ZmqEgress(cfg, endpoint=args.zmq_pub)
 
+    processor = None
+    if args.coordinator:
+        # lock-step multi-host streaming: every host runs this command with
+        # its own transport ports and --host-id; batches step collectively
+        # over the global mesh (parallel/multihost.py).
+        from .parallel.multihost import MultiHostProcessor, init_distributed
+
+        init_distributed(args.coordinator, args.num_hosts, args.host_id)
+        processor = MultiHostProcessor.build(
+            cfg, per_host_batch=args.batch, method=args.method).step_local
+
     volume = VolumeScan(cfg, args.checkpoint) if args.checkpoint else None
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,
         max_sectors=args.max_sectors, idle_limit=args.idle_limit,
+        processor=processor, lockstep=args.coordinator is not None,
     )
     stats = ex.run()
     if volume is not None and args.checkpoint:
@@ -278,6 +290,11 @@ def main(argv=None):
     p.add_argument("--max-sectors", type=int, default=None)
     p.add_argument("--idle-limit", type=int, default=None,
                    help="exit after N consecutive idle recv timeouts")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of host 0 — enables lock-step "
+                        "multi-host streaming over one global mesh")
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("produce", help="replay sectors onto the wire")

@@ -1,0 +1,113 @@
+"""Multi-host (multi-process) scaling of the radar chain.
+
+Topology: each host runs its own ingest (UDP/TCP/ZMQ, io/) and decodes its
+share of sectors into host-local planar batches; the hosts form one global
+device mesh and every step processes the *global* batch, data-parallel over
+sectors (the workload is 143 x 9 independent sector problems per volume
+scan, SURVEY.md section 2.5 — nothing like this exists in the single-GPU
+reference).  Per-host results come back addressable locally, so each host
+publishes products for exactly the sectors it ingested: the producer ->
+processor -> consumer dataflow of the reference (section 1) sharded H ways.
+
+Communication: batch assembly uses jax.make_array_from_process_local_data
+(no cross-host data movement — each host's shard stays on its devices);
+the compute step is the shard_map pipeline (sharded.py), whose collectives
+(all_to_all / all_gather for the optional in-sector seq split) ride ICI.
+DCN only carries the jax.distributed control plane.
+
+Tested with a real 2-process gloo-backed CPU mesh in
+tests/test_multihost.py; on TPU pods the same code path uses ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RadarConfig, DEFAULT_CONFIG
+from .mesh import DATA_AXIS, SEQ_AXIS, make_mesh
+from .sharded import build_sharded_processor
+
+
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Join the jax.distributed world (idempotent).
+
+    coordinator: "host:port" of process 0.  Call before any other jax use.
+    """
+    from jax._src import distributed as _dist
+
+    # NB: must not touch jax.devices()/process_count() here — that would
+    # initialise the XLA backend before the distributed client exists.
+    if getattr(_dist.global_state, "client", None) is not None:
+        return
+    jax.distributed.initialize(coordinator, num_processes=num_processes,
+                               process_id=process_id)
+
+
+@dataclasses.dataclass
+class MultiHostProcessor:
+    """Global-mesh batch processor with per-host feed/collect.
+
+    Usage (on every process):
+
+        proc = MultiHostProcessor.build(cfg, per_host_batch=16)
+        zdb, zdr = proc.step_local(local_planar)   # [16, C, 2, m, n]
+        # zdb/zdr are THIS host's [16, m/2] products, ready for egress
+    """
+
+    cfg: RadarConfig
+    mesh: Mesh
+    per_host_batch: int
+    _step: Callable
+    _in_sharding: NamedSharding
+    _local_shape: Tuple[int, ...]
+
+    @classmethod
+    def build(cls, cfg: RadarConfig = DEFAULT_CONFIG,
+              per_host_batch: int = 16, seq: int = 1,
+              method: str = "mxu") -> "MultiHostProcessor":
+        mesh = make_mesh(seq=seq)
+        data_size = mesh.shape[DATA_AXIS]
+        procs = jax.process_count()
+        if (per_host_batch * procs) % data_size:
+            raise ValueError(
+                f"global batch {per_host_batch * procs} must divide by the "
+                f"data axis ({data_size})")
+        step, in_sharding = build_sharded_processor(cfg, mesh, method=method)
+        c, m, n = cfg.sector_shape
+        return cls(cfg=cfg, mesh=mesh, per_host_batch=per_host_batch,
+                   _step=step, _in_sharding=in_sharding,
+                   _local_shape=(per_host_batch, c, 2, m, n))
+
+    def feed_local(self, local_planar: np.ndarray) -> jax.Array:
+        """Host-local planar batch [per_host_batch, C, 2, m, n] float32 ->
+        global sharded array [procs * per_host_batch, ...].  Zero cross-host
+        transfer: this host's rows land on this host's devices."""
+        if local_planar.shape != self._local_shape:
+            raise ValueError(
+                f"expected {self._local_shape}, got {local_planar.shape}")
+        return jax.make_array_from_process_local_data(
+            self._in_sharding, np.ascontiguousarray(local_planar))
+
+    def step_global(self, global_iq: jax.Array):
+        return self._step(global_iq)
+
+    def collect_local(self, out: jax.Array) -> np.ndarray:
+        """Extract this host's rows of a [global_batch, m/2] product (the
+        sectors it fed), in feed order."""
+        rows = {}
+        for shard in out.addressable_shards:
+            start = shard.index[0].start or 0
+            rows[start] = np.asarray(shard.data)
+        got = [rows[k] for k in sorted(rows)]
+        return np.concatenate(got, axis=0)[: self.per_host_batch]
+
+    def step_local(self, local_planar: np.ndarray):
+        """feed -> step -> collect: this host's products for its sectors."""
+        out = self.step_global(self.feed_local(local_planar))
+        return tuple(self.collect_local(o) for o in out)

@@ -66,9 +66,19 @@ class StreamingExecutor:
         volume: Optional[VolumeScan] = None,
         max_sectors: Optional[int] = None,
         idle_limit: Optional[int] = None,
+        processor: Optional[Callable] = None,
+        lockstep: bool = False,
     ):
         """idle_limit: stop after this many consecutive idle receive
-        timeouts (None = listen forever, the service default)."""
+        timeouts (None = listen forever, the service default).
+
+        processor: override the compiled batch step (e.g.
+        parallel.multihost.MultiHostProcessor.step_local for lock-step
+        multi-host streaming); default builds a local SectorProcessor.
+
+        lockstep: wait for FULL batches (except at end-of-stream) so every
+        host in a multi-host mesh issues the same number of collective
+        steps for the same sector count."""
         self.cfg = cfg
         self.transport = transport
         self.publish = publish
@@ -76,10 +86,12 @@ class StreamingExecutor:
         self.debug_sync = debug_sync
         self.max_sectors = max_sectors
         self.idle_limit = idle_limit
+        self.lockstep = lockstep
         self.volume = volume
         self.timers = StageTimers()
         self.throughput = Throughput()
-        self.processor = SectorProcessor(cfg, method=method)
+        self.processor = (processor if processor is not None
+                          else SectorProcessor(cfg, method=method))
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
@@ -152,7 +164,8 @@ class StreamingExecutor:
         tasks.append(item)
         while len(tasks) < self.batch:
             try:
-                item = self._queue.get_nowait()
+                item = (self._queue.get() if self.lockstep
+                        else self._queue.get_nowait())
             except queue.Empty:
                 break
             if item is None:
