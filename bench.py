@@ -11,7 +11,7 @@ Baseline to beat: 36.1 sectors/s for the 3-channel chain on the reference's
 GeForce 930M (prof/g7.prof); 73.5 sectors/s for 2-channel (nocin-sep.prof).
 
 Prints ONE JSON line:
-  {"metric": "sectors_per_second_3ch", "value": N, "unit": "sectors/s",
+  {"metric": f"sectors_per_second_{cfg.num_channels}ch", "value": N, "unit": "sectors/s",
    "vs_baseline": N/36.1, ...}
 """
 
@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--method", default="pallas", choices=["mxu", "parseval", "pallas", "radix", "fft"])
     ap.add_argument("--matched-filter", default="direct",
                     choices=["direct", "fold", "spectral"])
+    ap.add_argument("--channels", type=int, default=3, choices=[2, 3],
+                    help="2 compares against the reference's 2-channel "
+                         "nocin baseline (73.5 sectors/s)")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -59,10 +62,16 @@ def main():
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
-        cfg = tiny_config(m=128, n=64)
+        cfg = tiny_config(m=128, n=64, channels=args.channels)
         args.batch, args.distinct, args.repeats = 4, 2, 2
     else:
         cfg = DEFAULT_CONFIG
+        if args.channels != cfg.num_channels:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, num_channels=args.channels).validate()
+    baseline = BASELINE_3CH if args.channels == 3 else BASELINE_2CH
 
     dev = jax.devices()[0]
     log = (lambda *a: print(*a, file=sys.stderr)) if args.verbose else (lambda *a: None)
@@ -176,10 +185,13 @@ def main():
     sectors_s_h2d = args.batch / elapsed_h2d
 
     result = {
-        "metric": "sectors_per_second_3ch",
+        "metric": f"sectors_per_second_{cfg.num_channels}ch",
         "value": round(sectors_s, 2),
         "unit": "sectors/s",
-        "vs_baseline": round(sectors_s / BASELINE_3CH, 2),
+        "vs_baseline": round(sectors_s / baseline, 2),
+        "pulses_per_second": round(sectors_s * cfg.num_pulses, 0),
+        "samples_per_second": round(
+            sectors_s * cfg.num_channels * cfg.m * cfg.n, 0),
         "sectors_per_second_with_h2d": round(sectors_s_h2d, 2),
         "ms_per_sector": round(1e3 / sectors_s, 4),
         "h2d_gbps": round(h2d_gbps, 2),
