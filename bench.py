@@ -142,7 +142,6 @@ def main():
                 off = (i % args.distinct) * bcn
                 pw = fused_chain_power_at(
                     x_all, off, bcn, a_split, wd_d, ph_d,
-                    row_block=min(512, cfg.num_output_bins),
                     interpret=jax.default_backend() != "tpu")
                 pw = pw.reshape(args.batch, c, -1)
                 zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1], gain_d)

@@ -17,11 +17,14 @@ Against the unfused XLA path this removes every HBM round-trip between the
 matmul and the scalar power output (Y alone is 4 MB per channel-sector) and
 cuts the MXU passes from 12 (4 real matmuls x 3) to 9 (Gauss x 3).
 
-Grid: (bc, row-blocks of A).  The planar IQ block [2, m, n] stays resident
-across the row-block loop (its index map depends only on bc); its six bf16
-split planes are computed once per bc into persistent VMEM scratch.  The A
-operator arrives pre-split from the host as a constant [6, m/2, m] bf16
-array (rows: ar_hi, ar_lo, ai_hi, ai_lo, asum_hi, asum_lo).
+Grid: one step per channel-sector.  The contraction is chunked over range
+rows: each chunk's bf16 splits are *values* feeding accumulating partial
+dots — no scratch round-trip, and the VPU split of chunk c+1 can co-issue
+with the MXU dot of chunk c (measured: the MXU runs at ~100% of roofline
+during the dots; the splits are the remaining serial cost).  The A operator
+arrives pre-split from the host as a constant [6, m/2, m] bf16 array (rows:
+ar_hi, ar_lo, ai_hi, ai_lo, asum_hi, asum_lo) and stays VMEM-resident for
+the whole launch.
 
 Reference chain being fused: read.cc:134-339 (stages 01-08); the Parseval
 collapse of stages 03b-08 is derived in constants.parseval_vectors.
@@ -38,6 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import PipelineConstants
+
+#: contraction chunks per sector; 8 measured best (VPU/MXU co-issue)
+_CHUNKS = 8
 
 
 def _split_bf16(x):
@@ -61,39 +67,39 @@ def split_operator_host(op: np.ndarray) -> np.ndarray:
     return np.stack(planes)
 
 
-def _kernel(n, x_ref, a_ref, wd_ref, ph_ref, pow_ref, xs_ref):
-    """One (bc, r) grid step.
+def _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
+    """One channel-sector grid step.
 
-    x_ref:  [1, 2, m, n] f32   planar IQ (resident per bc)
-    a_ref:  [6, R, m]  bf16    pre-split A row block
-    wd_ref: [1, n] f32         pulse window
-    ph_ref: [4, n] f32         clip-bin phasors (cos1, sin1, cos2, sin2)
-    pow_ref:[1, 1, R] f32      matched-filter power out
-    xs_ref: [6, m, n] bf16     persistent scratch: x splits
-                               (xr_hi, xr_lo, xi_hi, xi_lo, xs_hi, xs_lo)
+    x_ref:  [1, 2, m, n] f32/int16  planar IQ
+    a_ref:  [6, m/2, m] bf16        pre-split A operator (launch-resident)
+    wd_ref: [1, n] f32              pulse window
+    ph_ref: [4, n] f32              clip-bin phasors (cos1, sin1, cos2, sin2)
+    pow_ref:[1, 1, m/2] f32         matched-filter power out
     """
-    r = pl.program_id(1)
-
-    @pl.when(r == 0)
-    def _():
-        # int16 planar input (the compact wire-native feed) converts to
-        # f32 here in VMEM; f32 input passes through unchanged.
-        xr = x_ref[0, 0].astype(jnp.float32)
-        xi = x_ref[0, 1].astype(jnp.float32)
-        for k, v in enumerate((xr, xi, xr + xi)):
-            hi, lo = _split_bf16(v)
-            xs_ref[2 * k] = hi
-            xs_ref[2 * k + 1] = lo
-
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
     def dot3(ah, al, bh, bl):
         # (ah+al)@(bh+bl) minus the ~2^-18 al@bl term: 3 MXU passes.
         return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
-    m1 = dot3(a_ref[0], a_ref[1], xs_ref[0], xs_ref[1])   # ar @ xr
-    m2 = dot3(a_ref[2], a_ref[3], xs_ref[2], xs_ref[3])   # ai @ xi
-    m3 = dot3(a_ref[4], a_ref[5], xs_ref[4], xs_ref[5])   # (ar+ai)@(xr+xi)
+    m = x_ref.shape[2]
+    ck = m // chunks
+    m1 = m2 = m3 = None
+    for c in range(chunks):
+        rows = slice(c * ck, (c + 1) * ck)
+        # int16 planar input (the compact wire-native feed) converts to f32
+        # here in VMEM; f32 input passes through unchanged.
+        xr = x_ref[0, 0, rows, :].astype(jnp.float32)
+        xi = x_ref[0, 1, rows, :].astype(jnp.float32)
+        xrh, xrl = _split_bf16(xr)
+        xih, xil = _split_bf16(xi)
+        xsh, xsl = _split_bf16(xr + xi)
+        p1 = dot3(a_ref[0, :, rows], a_ref[1, :, rows], xrh, xrl)  # ar@xr
+        p2 = dot3(a_ref[2, :, rows], a_ref[3, :, rows], xih, xil)  # ai@xi
+        p3 = dot3(a_ref[4, :, rows], a_ref[5, :, rows], xsh, xsl)  # as@xs
+        m1 = p1 if m1 is None else m1 + p1
+        m2 = p2 if m2 is None else m2 + p2
+        m3 = p3 if m3 is None else m3 + p3
     yr = m1 - m2
     yi = m3 - m1 - m2
 
@@ -114,11 +120,19 @@ def _kernel(n, x_ref, a_ref, wd_ref, ph_ref, pow_ref, xs_ref):
     pow_ref[0, 0, :] = s
 
 
+def _chunks_for(m: int) -> int:
+    c = _CHUNKS
+    while m % c or m // c < 8:   # keep >=8 sublanes per chunk
+        c //= 2
+        if c == 1:
+            return 1
+    return c
+
+
 def fused_chain_power(x_planar: jax.Array, a_split: jax.Array,
                       wd: jax.Array, phasors: jax.Array,
-                      row_block: int = 128,
                       interpret: bool = False) -> jax.Array:
-    """Planar IQ [bc, 2, m, n] f32 -> matched-filter power [bc, m/2] f32.
+    """Planar IQ [bc, 2, m, n] f32/int16 -> matched-filter power [bc, m/2].
 
     a_split: [6, m/2, m] bf16 from split_operator_host.
     wd: [n] f32; phasors: [4, n] f32.
@@ -126,48 +140,45 @@ def fused_chain_power(x_planar: jax.Array, a_split: jax.Array,
     bc, two, m, n = x_planar.shape
     assert two == 2, x_planar.shape
     mh = a_split.shape[1]
-    assert mh % row_block == 0, (mh, row_block)
-    kernel = functools.partial(_kernel, float(n))
-    flops_per_step = 9 * 2 * row_block * m * n
+    kernel = functools.partial(_kernel, float(n), _chunks_for(m))
     return pl.pallas_call(
         kernel,
-        grid=(bc, mh // row_block),
+        grid=(bc,),
         in_specs=[
-            pl.BlockSpec((1, 2, m, n), lambda b, r: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, row_block, m), lambda b, r: (0, r, 0),
+            pl.BlockSpec((6, mh, m), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, r: (0, 0),
+            pl.BlockSpec((1, n), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n), lambda b, r: (0, 0),
+            pl.BlockSpec((4, n), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, row_block), lambda b, r: (b, 0, r),
+        out_specs=pl.BlockSpec((1, 1, mh), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bc, 1, mh), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((6, m, n), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=bc * (mh // row_block) * flops_per_step,
-            bytes_accessed=bc * (2 * m * n * 4 + 6 * mh * m * 2) + bc * mh * 4,
+            flops=bc * 9 * 2 * mh * m * n,
+            bytes_accessed=bc * 2 * m * n * x_planar.dtype.itemsize
+            + 6 * mh * m * 2 + bc * mh * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x_planar, a_split, wd.reshape(1, n), phasors)[:, 0, :]
 
 
-def _kernel_offset(n, s_ref, x_ref, a_ref, wd_ref, ph_ref, pow_ref, xs_ref):
+def _kernel_offset(n, chunks, s_ref, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     """Scalar-prefetch variant: s_ref[0] is a bc-offset into the staged
     input; the block index map applies it, the body is identical."""
-    _kernel(n, x_ref, a_ref, wd_ref, ph_ref, pow_ref, xs_ref)
+    _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref)
 
 
 def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
                          bc: int, a_split: jax.Array,
                          wd: jax.Array, phasors: jax.Array,
-                         row_block: int = 128,
                          interpret: bool = False) -> jax.Array:
     """Like fused_chain_power, but reads `bc` channel-sectors starting at
     row `offset` (int32, in bc units) of the staged x_all [BC_total, 2, m,
@@ -178,35 +189,30 @@ def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
     _, two, m, n = x_all.shape
     assert two == 2, x_all.shape
     mh = a_split.shape[1]
-    assert mh % row_block == 0, (mh, row_block)
     if interpret:
         # Interpret mode (CPU tests) doesn't thread scalar-prefetch args
         # into index maps; a plain dynamic_slice is fine there.
         x = jax.lax.dynamic_slice(
             x_all, (offset, 0, 0, 0), (bc, two, m, n))
-        return fused_chain_power(x, a_split, wd, phasors,
-                                 row_block=row_block, interpret=True)
-    kernel = functools.partial(_kernel_offset, float(n))
-
+        return fused_chain_power(x, a_split, wd, phasors, interpret=True)
+    kernel = functools.partial(_kernel_offset, float(n), _chunks_for(m))
     # Index maps receive (grid indices..., scalar-prefetch refs): the
     # offset ref arrives LAST, as a (1,)-shaped SMEM ref.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bc, mh // row_block),
+        grid=(bc,),
         in_specs=[
-            pl.BlockSpec((1, 2, m, n),
-                         lambda b, r, s: (s[0] + b, 0, 0, 0),
+            pl.BlockSpec((1, 2, m, n), lambda b, s: (s[0] + b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, row_block, m), lambda b, r, s: (0, r, 0),
+            pl.BlockSpec((6, mh, m), lambda b, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, r, s: (0, 0),
+            pl.BlockSpec((1, n), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, n), lambda b, r, s: (0, 0),
+            pl.BlockSpec((4, n), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, row_block), lambda b, r, s: (b, 0, r),
+        out_specs=pl.BlockSpec((1, 1, mh), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((6, m, n), jnp.bfloat16)],
     )
     return pl.pallas_call(
         kernel,
@@ -215,15 +221,16 @@ def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
     )(jnp.asarray([offset], jnp.int32).reshape(1,), x_all, a_split,
       wd.reshape(1, n), phasors)[:, 0, :]
 
 
-def build_pallas_processor(consts: PipelineConstants, row_block: int = 128,
+def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
                            interpret: bool = False):
     """Returns fn(iq_planar [B, C, 2, m, n]) -> pow [B, C, m/2] using the
-    fused kernel (host constants prepared once)."""
+    fused kernel (host constants prepared once).  row_block is accepted for
+    backwards compatibility and ignored (the kernel processes one
+    channel-sector per grid step)."""
     a_split = jnp.asarray(split_operator_host(consts.op_a_half))
     wd = jnp.asarray(consts.wd)
     ph = jnp.asarray(consts.clip_phasors)
@@ -231,8 +238,7 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 128,
     def fn(iq_planar):
         b, c, two, m, n = iq_planar.shape
         x = iq_planar.reshape(b * c, two, m, n)
-        p = fused_chain_power(x, a_split, wd, ph, row_block=row_block,
-                              interpret=interpret)
+        p = fused_chain_power(x, a_split, wd, ph, interpret=interpret)
         return p.reshape(b, c, -1)
 
     return fn

@@ -472,9 +472,7 @@ class SectorProcessor:
 
         consts = PipelineConstants.build(cfg)
         interpret = jax.default_backend() != "tpu"
-        row_block = min(512, cfg.num_output_bins)
-        power_fn = build_pallas_processor(consts, row_block=row_block,
-                                          interpret=interpret)
+        power_fn = build_pallas_processor(consts, interpret=interpret)
         gain = jnp.asarray(consts.gain)
 
         @jax.jit
