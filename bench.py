@@ -123,16 +123,39 @@ def main():
         # step reads a different device-resident slab with zero copies and
         # nothing is loop-invariant, so XLA cannot hoist the compute.
         from wrp_tpu.constants import PipelineConstants
-        from wrp_tpu.ops.pallas.fullchain import (
-            split_operator_host, fused_chain_power_at)
+        from wrp_tpu.ops.pallas import fullchain as FC
         from wrp_tpu.pipeline import stage09_10_products
 
         consts = PipelineConstants.build(cfg)
-        a_split = jax.device_put(split_operator_host(consts.op_a_half), dev)
         wd_d = jax.device_put(consts.wd, dev)
         ph_d = jax.device_put(consts.clip_phasors, dev)
         gain_d = jax.device_put(consts.gain, dev)
         bcn = args.batch * c
+        interp = jax.default_backend() != "tpu"
+        radix = FC.radix_for(m)
+        if radix > 1:
+            # radix kernel wants rows in radix order: the decode step
+            # produces this for free (different row-offset formula), so
+            # staging pre-permuted input matches the real ingest path.
+            a_np, tw_np, fac = FC.radix_plan_host(consts, radix)
+            a_radix = jax.device_put(a_np, dev)
+            tw_d = jax.device_put(tw_np, dev)
+            host_iq = np.ascontiguousarray(
+                host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
+            # restage: dev_iq above was put in natural row order
+            dev_iq = jax.block_until_ready(jax.device_put(host_iq, dev))
+
+            def power_at(x_all, off):
+                return FC.fused_chain_power_radix(
+                    x_all, a_radix, tw_d, fac, wd_d, ph_d,
+                    interpret=interp, offset=off, bc=bcn)
+        else:
+            a_split = jax.device_put(
+                FC.split_operator_host(consts.op_a_half), dev)
+
+            def power_at(x_all, off):
+                return FC.fused_chain_power_at(
+                    x_all, off, bcn, a_split, wd_d, ph_d, interpret=interp)
 
         @jax.jit
         def timed_passes(iq_all):
@@ -140,10 +163,7 @@ def main():
 
             def one_step(i, carry):
                 off = (i % args.distinct) * bcn
-                pw = fused_chain_power_at(
-                    x_all, off, bcn, a_split, wd_d, ph_d,
-                    interpret=jax.default_backend() != "tpu")
-                pw = pw.reshape(args.batch, c, -1)
+                pw = power_at(x_all, off).reshape(args.batch, c, -1)
                 zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1], gain_d)
                 return carry + jnp.sum(zdb, axis=0) + jnp.sum(
                     jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
