@@ -85,3 +85,28 @@ def test_mesh_construction():
     assert m2.shape == {"data": 2, "seq": 4}
     with pytest.raises(ValueError):
         make_mesh(data=16, seq=1)
+
+
+def test_halo_matched_filter_processor():
+    """Pulse-sharded end-to-end chain with the overlap-save ppermute halo
+    (parallel/halo.py) matches the unsharded pipeline."""
+    import numpy as np
+
+    from wrp_tpu import oracle, pipeline
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.parallel.mesh import make_mesh
+    from wrp_tpu.parallel.halo import build_halo_processor
+    from wrp_tpu.parallel.sharded import shard_batch
+
+    cfg = tiny_config(m=64, n=32)
+    mesh = make_mesh(data=2, seq=4)
+    step, _ = build_halo_processor(cfg, mesh)
+    rng = np.random.default_rng(21)
+    iq = (rng.integers(-2048, 2048, (4, *cfg.sector_shape))
+          + 1j * rng.integers(-2048, 2048, (4, *cfg.sector_shape))
+          ).astype(np.complex64)
+    zdb, zdr = step(shard_batch(iq, mesh))
+    zdb = np.asarray(zdb)
+    for k in range(4):
+        zdb64, _ = oracle.process_sector(iq[k], cfg)
+        assert oracle.relative_l2(zdb64, zdb[k]) < 1e-4
