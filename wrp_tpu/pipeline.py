@@ -1,7 +1,8 @@
 """TPU-native implementation of the 11-stage polarimetric radar chain.
 
-Two interchangeable compute paths, both pure functions over a batch of
-sectors (jit once, vmap-free — every stage broadcasts over leading axes):
+Five interchangeable compute paths, all pure functions over a batch of
+sectors (jit once, vmap-free — every stage broadcasts over leading axes),
+all validated against the fp64 oracle and the reference goldens:
 
 * ``method="fft"``  — direct XLA formulation: window multiply, two batched
   ``jnp.fft.fft`` calls, fused elementwise stages.  Mirrors the reference
@@ -15,6 +16,19 @@ sectors (jit once, vmap-free — every stage broadcasts over leading axes):
   reductions on the VPU.  This is not a port of anything in the reference —
   it is the natural TPU mapping (the reference's own scratch experiment
   examples/matrixmul.cu:13-48 hints at the outer-product form).
+
+* ``method="parseval"`` — the B matmul and conv collapse into a closed
+  form by Parseval (constants.parseval_vectors); the A matmul runs in
+  Gauss 3-multiply form.
+
+* ``method="pallas"`` — the flagship: the whole chain in ONE fused Pallas
+  kernel with a radix-8 DIT range DFT (ops/pallas/fullchain.py).
+
+* ``method="radix"`` — Cooley-Tukey split DFTs as XLA einsums
+  (ops/dft.py); kept as the measured-slower-than-mxu data point (the
+  layout shuffles are HBM-bound outside a fused kernel).
+
+See DESIGN.md for the derivations and the measured ladder.
 
 The matched filter (stages 05-07) is a circular convolution; we compute it
 directly with 7 shifted fused multiply-adds instead of FFT->multiply->IFFT
