@@ -216,3 +216,32 @@ def test_zmq_loopback_pipeline(cfg):
 
     for c in (producer, ingest, egress, consumer):
         c.close()
+
+
+def test_full_udp_streaming_pipeline_pallas(cfg):
+    """Streaming with the fused-kernel fast path: int16 radix-order decode
+    feeds the pallas processor directly (no on-device permutation)."""
+    n_sectors = 4
+    sectors = _wire_sectors(cfg, n_sectors, seed=9)
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    got = {}
+
+    ex = StreamingExecutor(
+        cfg, transport=ingest, method="pallas", batch=2,
+        max_sectors=n_sectors,
+        publish=lambda sector, elevation, zdb, zdr: got.__setitem__(
+            sector, (zdb.copy(), zdr.copy())),
+    )
+    runner = threading.Thread(target=ex.run, daemon=True)
+    runner.start()
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    for iq, wire in sectors:
+        producer.send_sector(wire)
+    runner.join(timeout=30)
+    assert len(got) == n_sectors
+
+    for k, (iq, _) in enumerate(sectors):
+        zdb64, _ = oracle.process_sector(iq, cfg)
+        assert oracle.relative_l2(zdb64, got[k][0]) < 1e-4
+    ingest.close()
+    producer.close()

@@ -47,7 +47,8 @@ def decode_iq(buf: bytes | bytearray | memoryview | np.ndarray,
 
 def decode_iq_i16(buf: bytes | bytearray | memoryview | np.ndarray,
                   cfg: RadarConfig = DEFAULT_CONFIG,
-                  planar_out: np.ndarray | None = None) -> np.ndarray:
+                  planar_out: np.ndarray | None = None,
+                  radix: int = 1) -> np.ndarray:
     """Wire bytes -> int16 planar IQ [channels, 2(I/Q), m, n].
 
     The compact device-feed layout: the 14-bit ADC samples ARE int16, so
@@ -56,13 +57,18 @@ def decode_iq_i16(buf: bytes | bytearray | memoryview | np.ndarray,
     the fused Pallas path)."""
     m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
     if _native is not None:
-        return _native.decode_iq_i16(buf, m, n, ch, out=planar_out)
+        return _native.decode_iq_i16(buf, m, n, ch, out=planar_out,
+                                     radix=radix)
     expected = m * n * cfg.bytes_per_sample
     raw = np.frombuffer(buf, dtype=">i2", count=expected // 2)
     shaped = raw.reshape(m, n, ch, 2)
     out = planar_out if planar_out is not None else np.empty(
         (ch, 2, m, n), np.int16)
-    np.copyto(out, shaped.transpose(2, 3, 0, 1))
+    planar = shaped.transpose(2, 3, 0, 1)
+    if radix > 1:
+        order = np.concatenate([np.arange(p, m, radix) for p in range(radix)])
+        planar = planar[:, :, order, :]
+    np.copyto(out, planar)
     return out
 
 

@@ -33,6 +33,25 @@ void decode_plane(const uint8_t *wire, float *dst, size_t samples,
   }
 }
 
+// Row-permuting variants: range row r lands at (r % radix)*(m/radix) +
+// r/radix — the radix-DIT input order of the fused kernel
+// (ops/pallas/fullchain.py radix_row_order).  Same cost as natural order:
+// only the destination offset formula changes.
+template <typename T>
+void decode_plane_radix(const uint8_t *wire, T *dst, int64_t m, int64_t n,
+                        size_t offset_bytes, size_t stride_bytes,
+                        int32_t radix) {
+  const uint8_t *src = wire + offset_bytes;
+  const int64_t M = m / radix;
+  for (int64_t r = 0; r < m; ++r) {
+    T *row = dst + ((r % radix) * M + r / radix) * n;
+    for (int64_t j = 0; j < n; ++j) {
+      row[j] = static_cast<T>(be16(src));
+      src += stride_bytes;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -62,13 +81,21 @@ void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
 }
 
 // wire BE int16 interleaved -> int16 planar (compact device-feed layout:
-// halves H2D bytes vs float32; the device converts on-chip).
+// halves H2D bytes vs float32; the device converts on-chip).  radix > 1
+// additionally writes range rows in radix-DIT order for the fused kernel.
 void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
-                       int64_t n, int64_t ch, int32_t num_threads) {
+                       int64_t n, int64_t ch, int32_t num_threads,
+                       int32_t radix) {
   const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
   const size_t stride = static_cast<size_t>(ch) * 4;
   const int planes = static_cast<int>(ch) * 2;
   auto decode = [=](int p) {
+    if (radix > 1) {
+      decode_plane_radix<int16_t>(wire, out + static_cast<size_t>(p) * samples,
+                                  m, n, static_cast<size_t>(p) * 2, stride,
+                                  radix);
+      return;
+    }
     const uint8_t *src = wire + static_cast<size_t>(p) * 2;
     int16_t *dst = out + static_cast<size_t>(p) * samples;
     for (size_t s = 0; s < samples; ++s) {

@@ -25,6 +25,7 @@ _lib.wrp_decode_iq.argtypes = [
 _lib.wrp_decode_iq_i16.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+    ctypes.c_int32,
 ]
 _lib.wrp_encode_iq.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p,
@@ -58,14 +59,16 @@ def decode_iq(wire, m: int, n: int, ch: int,
 
 def decode_iq_i16(wire, m: int, n: int, ch: int,
                   out: np.ndarray | None = None,
-                  num_threads: int = _DEFAULT_THREADS) -> np.ndarray:
-    """Wire bytes -> planar int16 [ch, 2, m, n] (compact device feed)."""
+                  num_threads: int = _DEFAULT_THREADS,
+                  radix: int = 1) -> np.ndarray:
+    """Wire bytes -> planar int16 [ch, 2, m, n] (compact device feed).
+    radix > 1 writes range rows in radix-DIT order (fused-kernel input)."""
     if out is None:
         out = np.empty((ch, 2, m, n), np.int16)
     src = _as_u8(wire)
     assert src.size >= m * n * ch * 4, (src.size, m * n * ch * 4)
     _lib.wrp_decode_iq_i16(src.ctypes.data, out.ctypes.data, m, n, ch,
-                           num_threads)
+                           num_threads, radix)
     return out
 
 

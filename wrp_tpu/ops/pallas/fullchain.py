@@ -440,11 +440,13 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
 
 
 def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           pre_permuted: bool = False):
     """Returns fn(iq_planar [B, C, 2, m, n]) -> pow [B, C, m/2] using the
     fused kernel (host constants prepared once).  Uses the radix kernel
-    when the geometry supports it, permuting rows on-device for
-    natural-order input; falls back to the direct kernel otherwise.
+    when the geometry supports it; natural-order input gets an on-device
+    row permutation unless pre_permuted=True (the decode step can emit
+    radix order for free — io/codec.decode_iq_i16(radix=...)).
     row_block is accepted for backwards compatibility and ignored."""
     wd = jnp.asarray(consts.wd)
     ph = jnp.asarray(consts.clip_phasors)
@@ -460,7 +462,8 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
         def fn(iq_planar):
             b, c, two, m_, n = iq_planar.shape
             x = iq_planar.reshape(b * c, two, m_, n)
-            x = jnp.take(x, order, axis=2)
+            if not pre_permuted:
+                x = jnp.take(x, order, axis=2)
             p = fused_chain_power_radix(x, a_radix, tw, fac, wd, ph,
                                         interpret=interpret)
             return p.reshape(b, c, -1)

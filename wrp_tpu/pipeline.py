@@ -443,10 +443,22 @@ class SectorProcessor:
         matched_filter: str = "direct",
         device=None,
         precision: str | None = None,
+        layout: str = "natural",
     ):
+        """layout="radix" (pallas only): input range rows arrive already in
+        radix-DIT order (io/codec.decode_iq_i16(radix=proc.input_radix)),
+        skipping the on-device permutation."""
         self.cfg = cfg
+        self.input_radix = 1
         if method == "pallas":
-            self._pallas_fn = self._build_pallas_fn(cfg, device)
+            from .ops.pallas.fullchain import radix_for
+
+            if layout == "radix":
+                self.input_radix = radix_for(cfg.num_range_cells)
+            self._pallas_fn = self._build_pallas_fn(
+                cfg, device, pre_permuted=layout == "radix")
+        elif layout != "natural":
+            raise ValueError("layout='radix' requires method='pallas'")
         if method == "radix":
             from .ops.dft import RadixStageOperators
 
@@ -478,7 +490,8 @@ class SectorProcessor:
             put(consts.clip_phasors),
         )
 
-    def _build_pallas_fn(self, cfg: RadarConfig, device):
+    def _build_pallas_fn(self, cfg: RadarConfig, device,
+                         pre_permuted: bool = False):
         """Fused single-kernel chain (ops/pallas/fullchain.py): Gauss
         complex matmul + Parseval epilogue, all VMEM-resident.  Falls back
         to interpret mode off-TPU (tests)."""
@@ -486,7 +499,8 @@ class SectorProcessor:
 
         consts = PipelineConstants.build(cfg)
         interpret = jax.default_backend() != "tpu"
-        power_fn = build_pallas_processor(consts, interpret=interpret)
+        power_fn = build_pallas_processor(consts, interpret=interpret,
+                                          pre_permuted=pre_permuted)
         gain = jnp.asarray(consts.gain)
 
         @jax.jit

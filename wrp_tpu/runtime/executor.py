@@ -90,8 +90,18 @@ class StreamingExecutor:
         self.volume = volume
         self.timers = StageTimers()
         self.throughput = Throughput()
-        self.processor = (processor if processor is not None
-                          else SectorProcessor(cfg, method=method))
+        if processor is not None:
+            self.processor = processor
+            self._decode_radix = 0          # external step: natural f32
+        elif method == "pallas":
+            # fused-kernel fast path: compact int16 feed, rows decoded
+            # straight into radix-DIT order (no on-device permutation)
+            self.processor = SectorProcessor(cfg, method=method,
+                                             layout="radix")
+            self._decode_radix = self.processor.input_radix
+        else:
+            self.processor = SectorProcessor(cfg, method=method)
+            self._decode_radix = 0
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
@@ -142,7 +152,11 @@ class StreamingExecutor:
                 else:
                     sector, elevation = self._sector, self._elevation
                 with self.timers.time("ingest/decode"):
-                    planar = codec.decode_iq(wire, self.cfg)
+                    if self._decode_radix:
+                        planar = codec.decode_iq_i16(
+                            wire, self.cfg, radix=self._decode_radix)
+                    else:
+                        planar = codec.decode_iq(wire, self.cfg)
                 self._queue.put(SectorTask(planar, sector, elevation))
                 self._advance()
                 received += 1
