@@ -108,3 +108,26 @@ def test_full_tcp_streaming_pipeline(cfg):
     ingest.close()
     egress.close()
     consumer.close()
+
+
+def test_tcp_partial_frame_drops_connection(cfg):
+    """A producer stalling mid-frame must not desync the stream: the
+    connection is dropped and a fresh producer works."""
+    import socket as socket_mod
+    import struct
+
+    ingest = TcpIngest(cfg, port=0, timeout_s=0.2)
+    raw = socket_mod.create_connection(("127.0.0.1", ingest.local_port))
+    # send a frame header promising more bytes than we deliver
+    raw.sendall(struct.pack(">I", 1000) + b"only-a-little")
+    buf, header = ingest.recv_sector()   # times out mid-frame -> drop
+    assert buf is None and header is None
+    raw.close()
+
+    sectors = _wire_sectors(cfg, 1)
+    p2 = TcpProducer(cfg, port=ingest.local_port)
+    p2.send_sector(sectors[0][1], sector=3)
+    buf, h = ingest.recv_sector()
+    assert h.sector == 3 and bytes(buf) == sectors[0][1]
+    p2.close()
+    ingest.close()

@@ -28,13 +28,26 @@ _LEN = struct.Struct(">I")
 _ING = struct.Struct(">HH")
 
 
+class _PartialRead(Exception):
+    """Timeout after part of a frame arrived: the stream is desynced and
+    the connection must be dropped (a plain retry would misparse)."""
+
+
 def _recv_exact(sock: socket.socket, nbytes: int) -> Optional[bytes]:
-    """Read exactly nbytes; None on clean EOF.  Raises socket.timeout."""
+    """Read exactly nbytes; None on clean EOF.  Raises socket.timeout on
+    an idle boundary, _PartialRead on a mid-frame stall."""
     chunks = []
     remaining = nbytes
     while remaining:
-        chunk = sock.recv(remaining)
+        try:
+            chunk = sock.recv(remaining)
+        except socket.timeout:
+            if chunks:
+                raise _PartialRead() from None
+            raise
         if not chunk:
+            if chunks:
+                raise _PartialRead()
             return None
         chunks.append(chunk)
         remaining -= len(chunk)
@@ -50,7 +63,10 @@ def _recv_msg(sock: socket.socket) -> Optional[bytes]:
     if head is None:
         return None
     (length,) = _LEN.unpack(head)
-    return _recv_exact(sock, length)
+    body = _recv_exact(sock, length)
+    if body is None:           # EOF between header and body: desynced
+        raise _PartialRead()
+    return body
 
 
 class TcpIngest:
@@ -91,6 +107,13 @@ class TcpIngest:
         try:
             msg = _recv_msg(self._conn)
         except socket.timeout:
+            return None, None
+        except _PartialRead:
+            # mid-frame stall/EOF: the byte stream is desynced — drop the
+            # connection (the reference's blocking recv would hang or
+            # silently misparse here, SURVEY.md section 5)
+            self._conn.close()
+            self._conn = None
             return None, None
         if msg is None:  # producer closed; await the next one
             self._conn.close()

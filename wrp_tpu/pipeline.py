@@ -539,6 +539,14 @@ class SectorProcessor:
     def __call__(self, iq: Array) -> Tuple[Array, Array]:
         if np.iscomplexobj(iq):
             iq = to_planar(np.asarray(iq) if isinstance(iq, np.ndarray) else iq)
+            if self.input_radix > 1:
+                # layout="radix" expects pre-permuted rows; complex input
+                # is in natural order, so permute here (host-side)
+                from .ops.pallas.fullchain import radix_row_order
+
+                order = radix_row_order(self.cfg.num_range_cells,
+                                        self.input_radix)
+                iq = np.asarray(iq)[..., order, :]
         expect = (self.cfg.num_channels, 2, self.cfg.m, self.cfg.n)
         if tuple(iq.shape[-4:]) != expect:
             raise ValueError(
