@@ -28,10 +28,10 @@ BASELINE_2CH = 73.5   # prof/nocin-sep.prof
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-safe run")
-    ap.add_argument("--batch", type=int, default=64, help="sectors per step")
-    ap.add_argument("--distinct", type=int, default=4,
+    ap.add_argument("--batch", type=int, default=128, help="sectors per step")
+    ap.add_argument("--distinct", type=int, default=2,
                     help="distinct device-staged batches scanned per repeat")
-    ap.add_argument("--repeats", type=int, default=4,
+    ap.add_argument("--repeats", type=int, default=8,
                     help="sequential passes over the distinct batches")
     ap.add_argument("--method", default="pallas", choices=["mxu", "parseval", "pallas", "radix", "fft"])
     ap.add_argument("--matched-filter", default="direct",

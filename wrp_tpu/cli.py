@@ -71,6 +71,38 @@ def cmd_process(args):
                                arr[0] if arr.ndim == 3 else arr)
         print(f"stage dumps -> {outdir}", file=sys.stderr)
 
+    if args.timings:
+        # per-stage wall-clock breakdown, the read_gpu.cu tick/tock
+        # methodology (SURVEY.md section 5): force each stage boundary
+        # with a device sync before timestamping.
+        import jax
+        import jax.numpy as jnp
+
+        from . import pipeline as pl_mod
+        from .constants import PipelineConstants
+
+        consts = PipelineConstants.build(cfg)
+        iq_c = jnp.asarray(planar[:, 0] + 1j * planar[:, 1], jnp.complex64)
+        t_last = time.perf_counter()
+        marks = []
+        prev = None
+        for name, fn in [
+            ("01hamm", lambda x: pl_mod.stage01_window(
+                x, jnp.asarray(consts.hamming, jnp.float32))),
+            ("02fft1", pl_mod.stage02_range_fft),
+            ("03fft2", pl_mod.stage03_doppler),
+            ("04abs", pl_mod.stage04_power),
+            ("07conv", lambda p: pl_mod.matched_filter_direct(
+                p, consts.ma_taps)),
+            ("08pow", pl_mod.stage08_pulse_sum),
+        ]:
+            prev = jax.block_until_ready(fn(iq_c if prev is None else prev))
+            now = time.perf_counter()
+            marks.append((name, (now - t_last) * 1e6))
+            t_last = now
+        for name, us in marks:
+            print(f"stage {name}: {us:.0f} us", file=sys.stderr)
+
     proc = SectorProcessor(cfg, method=args.method)
     t0 = time.perf_counter()
     zdb, zdr = proc(planar[None])
@@ -263,6 +295,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dump-stages", default=None, metavar="DIR",
                    help="write per-stage .altb dumps (golden methodology)")
+    p.add_argument("--timings", action="store_true",
+                   help="per-stage wall-clock breakdown (read_gpu.cu "
+                        "tick/tock equivalent)")
     p.set_defaults(fn=cmd_process)
 
     p = sub.add_parser("compare",
