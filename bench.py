@@ -145,15 +145,16 @@ def main():
             # restage: dev_iq above was put in natural row order
             dev_iq = jax.block_until_ready(jax.device_put(host_iq, dev))
 
-            def power_at(x_all, off):
+            def power_at(x_all, off, salt):
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, tw_d, fac, wd_d, ph_d,
-                    interpret=interp, offset=off, bc=bcn)
+                    interpret=interp, offset=off, bc=bcn, salt=salt)
         else:
             a_split = jax.device_put(
                 FC.split_operator_host(consts.op_a_half), dev)
 
-            def power_at(x_all, off):
+            def power_at(x_all, off, salt):
+                del salt  # tiny fallback geometries: offsets suffice
                 return FC.fused_chain_power_at(
                     x_all, off, bcn, a_split, wd_d, ph_d, interpret=interp)
 
@@ -163,7 +164,9 @@ def main():
 
             def one_step(i, carry):
                 off = (i % args.distinct) * bcn
-                pw = power_at(x_all, off).reshape(args.batch, c, -1)
+                # per-step salt: no two steps compute the same function of
+                # the staged input, so nothing can be reused across steps
+                pw = power_at(x_all, off, i).reshape(args.batch, c, -1)
                 zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1], gain_d)
                 return carry + jnp.sum(zdb, axis=0) + jnp.sum(
                     jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)

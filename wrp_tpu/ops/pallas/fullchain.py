@@ -292,11 +292,16 @@ def radix_plan_host(consts: PipelineConstants, radix: int):
 
 
 def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
-                  pow_ref):
+                  pow_ref, salt=None):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
     tw_ref: [R, 2, M] f32            fac: static [S][R] complex
+    salt:   optional traced f32 scalar added to every IQ sample — a DC
+            offset the chain's own mean subtraction removes exactly.  The
+            benchmark threads a distinct per-step salt through so no two
+            steps compute the same function of the staged input (defeats
+            any conceivable XLA loop-level reuse/CSE; bench.py).
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -312,6 +317,9 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
         rows = slice(p * M, (p + 1) * M)
         xr = x_ref[0, 0, rows, :].astype(jnp.float32)
         xi = x_ref[0, 1, rows, :].astype(jnp.float32)
+        if salt is not None:
+            xr = xr + salt
+            xi = xi + salt
         xrh, xrl = _split_bf16(xr)
         xih, xil = _split_bf16(xi)
         xsh, xsl = _split_bf16(xr + xi)
@@ -360,21 +368,25 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
     pow_ref[0, 0, :] = s_
 
 
-def _kernel_radix_offset(n, radix, fac, s_ref, x_ref, a_ref, tw_ref, wd_ref,
-                         ph_ref, pow_ref):
+def _kernel_radix_offset(n, radix, fac, salted, s_ref, x_ref, a_ref, tw_ref,
+                         wd_ref, ph_ref, pow_ref):
+    salt = s_ref[1].astype(jnp.float32) if salted else None
     _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
-                  pow_ref)
+                  pow_ref, salt=salt)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
                             tw: jax.Array, fac, wd: jax.Array,
                             phasors: jax.Array,
                             interpret: bool = False,
-                            offset=None, bc: int | None = None) -> jax.Array:
+                            offset=None, bc: int | None = None,
+                            salt=None) -> jax.Array:
     """Radix kernel entry: x_r [bc, 2, m, n] with rows in radix order.
 
     With offset/bc set, reads a slab of a larger staged array via scalar
-    prefetch (the honest-benchmark path, see fused_chain_power_at)."""
+    prefetch (the honest-benchmark path, see fused_chain_power_at); salt
+    (int32 scalar) additionally makes each call's computation unique —
+    see _kernel_radix.  salt is ignored in interpret mode."""
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
@@ -410,7 +422,8 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
             interpret=interpret,
         )(x_r, a_radix, tw, wd.reshape(1, n), phasors)[:, 0, :]
 
-    kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac)
+    kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
+                               salt is not None)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bc,),
@@ -435,8 +448,9 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         out_shape=jax.ShapeDtypeStruct((bc, 1, mh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray([offset], jnp.int32).reshape(1,), x_r, a_radix, tw,
-      wd.reshape(1, n), phasors)[:, 0, :]
+    )(jnp.stack([jnp.asarray(offset, jnp.int32),
+                 jnp.asarray(salt if salt is not None else 0, jnp.int32)]),
+      x_r, a_radix, tw, wd.reshape(1, n), phasors)[:, 0, :]
 
 
 def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
