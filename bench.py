@@ -79,6 +79,8 @@ def main():
 
     proc = SectorProcessor(cfg, method=args.method,
                            matched_filter=args.matched_filter, device=dev)
+    # (rebuilt below with layout='radix' for the pallas radix path, whose
+    # staged input is pre-permuted)
 
     rng = np.random.default_rng(0)
     c, m, n = cfg.sector_shape
@@ -90,8 +92,9 @@ def main():
     # for XLA to hoist, no perturbation artifact).  int16 is the
     # wire-native 14-bit-ADC feed (io/codec.decode_iq_i16).
     host_iq = rng.integers(
-        -8192, 8192, (args.distinct, args.batch, c, 2, m, n)
-    ).astype(in_dtype)
+        -8192, 8192, (args.distinct, args.batch, c, 2, m, n),
+        dtype=np.int16,
+    ).astype(in_dtype, copy=False)
 
     def fetch(out):
         """Force true completion: block_until_ready is not a reliable sync
@@ -142,8 +145,11 @@ def main():
             tw_d = jax.device_put(tw_np, dev)
             host_iq = np.ascontiguousarray(
                 host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
-            # restage: dev_iq above was put in natural row order
+            # restage: dev_iq above was put in natural row order, and the
+            # secondary with-h2d metric must not double-permute
             dev_iq = jax.block_until_ready(jax.device_put(host_iq, dev))
+            proc = SectorProcessor(cfg, method="pallas", device=dev,
+                                   layout="radix")
 
             def power_at(x_all, off, salt):
                 return FC.fused_chain_power_radix(

@@ -144,3 +144,21 @@ def test_pipeline_accepts_i16_planar():
         proc = SectorProcessor(cfg, method=method)
         zdb, _ = proc(p16[None])
         assert oracle.relative_l2(zdb64, np.asarray(zdb)[0]) < 1e-5
+
+
+def test_two_channel_config_codec_roundtrip():
+    """bytes_per_sample derives from num_channels, so reduced-channel
+    configs keep wire sizes consistent (code-review regression)."""
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+
+    cfg = tiny_config(m=16, n=8, channels=2)
+    assert cfg.bytes_per_sample == 8
+    rng = np.random.default_rng(7)
+    iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+          + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+    wire = codec.encode_iq(iq, cfg)
+    assert len(wire) == cfg.sector_nbytes_wire
+    planar = codec.decode_iq(wire, cfg)
+    np.testing.assert_array_equal(codec.to_complex(planar),
+                                  iq.astype(np.complex64))

@@ -33,7 +33,6 @@ class RadarConfig:
     impedance: float = 50.0            # power computed w.r.t. 50 ohm
 
     # --- wire formats (reference: read_single.cc:15,125-127; rpv2.cu:217-219) ---
-    bytes_per_sample: int = 12         # 3 ch x I/Q x int16 BE
     udp_ingest_port: int = 19001
     udp_zdb_port: int = 19002
     udp_zdr_port: int = 19003
@@ -46,6 +45,13 @@ class RadarConfig:
     tcp_result_port: int = 19012
 
     # ------------------------------------------------------------------
+    @property
+    def bytes_per_sample(self) -> int:
+        """Wire bytes per sample: channels x I/Q x int16 BE (12 for the
+        reference's 3 channels, read_single.cc:15) — derived so reduced-
+        channel configs keep the codec and datagram sizes consistent."""
+        return self.num_channels * 4
+
     @property
     def m(self) -> int:
         return self.num_range_cells

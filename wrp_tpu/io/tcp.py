@@ -227,6 +227,10 @@ class TcpResultConsumer:
             msg = _recv_msg(self._conn)
         except socket.timeout:
             return None
+        except _PartialRead:
+            self._conn.close()
+            self._conn = None
+            return None
         if msg is None:
             self._conn.close()
             self._conn = None

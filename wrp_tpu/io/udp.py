@@ -76,7 +76,9 @@ class UdpIngest:
         if self._native is not None:
             # the C++ loop uses SO_RCVTIMEO on a blocking socket
             self._sock.setblocking(True)
-            self._timeout_ms = (int(timeout_s * 1000)
+            # C++ treats timeout_ms <= 0 as block-forever; a sub-ms
+            # timeout must round UP, not silently disable itself
+            self._timeout_ms = (max(1, int(timeout_s * 1000))
                                 if timeout_s is not None else -1)
             self._nstats = np.zeros(4, np.int64)
             self._nhdr = np.zeros(3, np.int32)

@@ -298,10 +298,13 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
     tw_ref: [R, 2, M] f32            fac: static [S][R] complex
     salt:   optional traced f32 scalar added to every IQ sample — a DC
-            offset the chain's own mean subtraction removes exactly.  The
-            benchmark threads a distinct per-step salt through so no two
-            steps compute the same function of the staged input (defeats
-            any conceivable XLA loop-level reuse/CSE; bench.py).
+            offset the chain's mean subtraction removes almost entirely
+            (the pulse window makes the cancellation inexact; residual is
+            ~1e-5 relative for small salts, and the benchmark only checks
+            finiteness, never parity, on salted outputs).  The benchmark
+            threads a distinct per-step salt through so no two steps
+            compute the same function of the staged input (defeats any
+            conceivable XLA loop-level reuse/CSE; bench.py).
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 

@@ -470,9 +470,12 @@ class SectorProcessor:
         self.matched_filter = matched_filter
         self.device = device
         self.precision = precision or default_precision_name()
+        if method == "pallas":
+            return  # fused path: no XLA-side constants needed
         consts = PipelineConstants.build(cfg)
         if method == "radix":
             self._radix_fn = self._build_radix_fn(consts)
+            return
         put = functools.partial(jax.device_put, device=device)
         self._dev_consts = (
             put(consts.hamming),

@@ -148,6 +148,12 @@ class StreamingExecutor:
                 idle = 0
                 if header is not None:
                     sector, elevation = header.sector, header.elevation
+                    if not (0 <= sector < self.cfg.num_sectors
+                            and 0 <= elevation < self.cfg.num_elevations):
+                        # a corrupt wire header must not kill the run
+                        log.warning("dropping sector with bad header "
+                                    "(%d, %d)", sector, elevation)
+                        continue
                     self._sector, self._elevation = sector, elevation
                 else:
                     sector, elevation = self._sector, self._elevation
@@ -233,7 +239,8 @@ class StreamingExecutor:
         cuFFT plans up front, rpv2.cu:312-341; a first-batch compile stall
         here would overflow the UDP receive buffer and drop sectors)."""
         c, m, n = self.cfg.sector_shape
-        zeros = np.zeros((self.batch, c, 2, m, n), np.float32)
+        dtype = np.int16 if self._decode_radix else np.float32
+        zeros = np.zeros((self.batch, c, 2, m, n), dtype)
         np.asarray(self.processor(zeros)[0])
 
     def run(self) -> dict:

@@ -47,9 +47,10 @@ class VolumeScan:
 
     def save(self, path: Optional[str | Path] = None) -> Path:
         """Atomic checkpoint (write-temp + rename)."""
-        path = Path(path or self.path)
+        path = path if path is not None else self.path
         if path is None:
             raise ValueError("no checkpoint path configured")
+        path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
         try:
