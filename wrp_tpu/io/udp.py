@@ -47,7 +47,7 @@ class UdpIngest:
         port: int | None = None,
         host: str = "",
         timeout_s: Optional[float] = None,
-        rcvbuf_bytes: int = 1 << 24,
+        rcvbuf_bytes: int = 1 << 27,
         native: Optional[bool] = None,
     ):
         """native: use the C++ GIL-free reassembly loop (native/ingest.cpp).

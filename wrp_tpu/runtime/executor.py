@@ -247,6 +247,7 @@ class StreamingExecutor:
         """Blocking steady-state loop; returns a stats summary."""
         with self.timers.time("compute/warmup_compile"):
             self.warmup()
+        log.info("warmup complete, ingest starting")
         ingest = threading.Thread(target=self._ingest_loop, daemon=True,
                                   name="wrp-ingest")
         ingest.start()
