@@ -1,0 +1,58 @@
+"""CLI surface tests (the reference's executable entry points,
+PARITY.md section 2.1)."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from wrp_tpu import cli
+
+
+def test_process_synthetic_writes_result(tmp_path, capsys):
+    out = tmp_path / "res.out"
+    rc = cli.main(["process", "--input", "synthetic", "--method", "mxu",
+                   "--output", str(out)])
+    assert rc == 0
+    rows = np.loadtxt(out)
+    assert rows.shape[1] == 2          # zdb zdr columns (99result format)
+    assert rows[0, 0] == -np.inf       # range bin 0 is always -inf
+    assert np.isfinite(rows[1:, 0]).all()
+
+
+def test_process_dump_stages(tmp_path):
+    dumps = tmp_path / "dumps"
+    rc = cli.main(["process", "--input", "synthetic", "--method", "mxu",
+                   "--dump-stages", str(dumps), "--output",
+                   str(tmp_path / "r.out")])
+    assert rc == 0
+    names = sorted(p.name for p in dumps.iterdir())
+    # the full staged-golden set the reference's methodology used
+    assert names == ["00iq.altb", "01hamm.altb", "02fft1.altb",
+                     "03fft2.altb", "04abs.altb", "07conv.altb",
+                     "08pow.altb", "09zdb.altb", "10zdr.altb"]
+
+
+def test_compare_reference_golden(capsys):
+    golden = "/root/reference/out/99result.cpu.out"
+    rc = cli.main(["compare", golden, golden, "--threshold", "1e-9"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pass"] and out["relative_l2"] == 0.0
+
+
+def test_compare_shape_mismatch(tmp_path, capsys):
+    a = tmp_path / "a.out"
+    b = tmp_path / "b.out"
+    a.write_text("1 2\n3 4\n")
+    b.write_text("1 2\n")
+    assert cli.main(["compare", str(a), str(b)]) == 2
+
+
+def test_compare_failing_threshold(tmp_path, capsys):
+    a = tmp_path / "a.out"
+    b = tmp_path / "b.out"
+    a.write_text("1.0\n2.0\n")
+    b.write_text("1.5\n2.5\n")
+    assert cli.main(["compare", str(a), str(b), "--threshold", "1e-6"]) == 1
