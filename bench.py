@@ -77,10 +77,7 @@ def main():
     log = (lambda *a: print(*a, file=sys.stderr)) if args.verbose else (lambda *a: None)
     log(f"device: {dev}, batch {args.batch}, method {args.method}")
 
-    proc = SectorProcessor(cfg, method=args.method,
-                           matched_filter=args.matched_filter, device=dev)
-    # (rebuilt below with layout='radix' for the pallas radix path, whose
-    # staged input is pre-permuted)
+    proc = None  # built once below, after the input layout is decided
 
     rng = np.random.default_rng(0)
     c, m, n = cfg.sector_shape
@@ -179,7 +176,12 @@ def main():
 
             return lax.fori_loop(0, steps, one_step,
                                  jnp.zeros(cfg.num_output_bins))
-    else:
+    if proc is None:
+        proc = SectorProcessor(cfg, method=args.method,
+                               matched_filter=args.matched_filter,
+                               device=dev)
+
+    if args.method != "pallas":
         @jax.jit
         def timed_passes(iq_all):
             def one_batch(carry, iq_batch):
@@ -207,6 +209,7 @@ def main():
     assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
 
     # --- streaming including fresh H2D (tunnel-dependent, secondary) ---
+    fetch(proc(jax.device_put(host_iq[0], dev)))   # compile outside the span
     t0 = time.perf_counter()
     out = fetch(proc(jax.device_put(host_iq[0], dev)))
     elapsed_h2d = time.perf_counter() - t0

@@ -34,8 +34,10 @@ def test_process_dump_stages(tmp_path):
                      "08pow.altb", "09zdb.altb", "10zdr.altb"]
 
 
-def test_compare_reference_golden(capsys):
-    golden = "/root/reference/out/99result.cpu.out"
+def test_compare_reference_golden(capsys, reference_dir):
+    import os
+
+    golden = os.path.join(reference_dir, "out/99result.cpu.out")
     rc = cli.main(["compare", golden, golden, "--threshold", "1e-9"])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

@@ -22,6 +22,10 @@ import numpy as np
 from ..config import RadarConfig, DEFAULT_CONFIG
 from . import frames
 
+import logging
+
+log = logging.getLogger("wrp_tpu")
+
 
 @dataclasses.dataclass
 class IngestStats:
@@ -63,6 +67,16 @@ class UdpIngest:
                                   rcvbuf_bytes)
         except OSError:
             pass
+        # Linux silently clamps SO_RCVBUF to net.core.rmem_max; an
+        # undersized buffer is the reference's silent datagram-loss mode,
+        # so make the clamp visible (getsockopt reports 2x the effective
+        # size).
+        got = self._sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
+        if got < rcvbuf_bytes:
+            log.warning(
+                "UDP receive buffer clamped to %.1f MB (requested %.0f MB);"
+                " raise net.core.rmem_max to avoid burst drops",
+                got / 2 / 1e6, rcvbuf_bytes / 1e6)
         self._sock.bind((host, self.port))
         self._native = None
         if native is None or native:

@@ -107,6 +107,7 @@ class StreamingExecutor:
         )
         self._stop = threading.Event()
         self._ingest_error: Optional[BaseException] = None
+        self.bad_headers = 0
         # reference counters (rpv2.cu:46-51, advance() :572-579)
         self._sector = 0
         self._elevation = 0
@@ -150,10 +151,16 @@ class StreamingExecutor:
                     sector, elevation = header.sector, header.elevation
                     if not (0 <= sector < self.cfg.num_sectors
                             and 0 <= elevation < self.cfg.num_elevations):
-                        # a corrupt wire header must not kill the run
-                        log.warning("dropping sector with bad header "
-                                    "(%d, %d)", sector, elevation)
-                        continue
+                        # a corrupt wire header must neither kill the run
+                        # (volume indexing / result packing would raise)
+                        # nor change this host's sector count (lock-step
+                        # multi-host needs identical step sequences):
+                        # clamp into range and account for it
+                        sector %= self.cfg.num_sectors
+                        elevation %= self.cfg.num_elevations
+                        self.bad_headers += 1
+                        log.warning("bad wire header clamped to (%d, %d)",
+                                    sector, elevation)
                     self._sector, self._elevation = sector, elevation
                 else:
                     sector, elevation = self._sector, self._elevation
@@ -272,6 +279,7 @@ class StreamingExecutor:
     def stats(self, processed: int) -> dict:
         return {
             "processed_sectors": processed,
+            "bad_headers": self.bad_headers,
             "sectors_per_second": round(self.throughput.overall(), 2),
             "timers": self.timers.summary(),
             "transport": dataclasses.asdict(self.transport.stats)
