@@ -172,3 +172,23 @@ def test_parseval_matches_mxu_fold():
     za, zb = np.asarray(za), np.asarray(zb)
     fin = np.isfinite(za) & np.isfinite(zb)
     assert oracle.relative_l2(za[fin], zb[fin]) < 2e-5
+
+
+@pytest.mark.parametrize("m,n,channels", [
+    (32, 16, 2),    # minimum-ish geometry, 2-channel
+    (64, 48, 3),    # n not a power of two (DFT-as-matmul doesn't care)
+    (128, 64, 3),   # radix-8-eligible m
+    (96, 32, 3),    # m with a non-dyadic factor (radix falls back)
+])
+def test_geometry_sweep_all_methods(m, n, channels):
+    """Every compute path handles non-default geometries and agrees with
+    the fp64 oracle (the reference hardcodes one geometry; configurability
+    is a framework requirement, config.py docstring)."""
+    cfg = tiny_config(m=m, n=n, channels=channels)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=m + n)
+    zdb64, zdr64 = oracle.process_sector(iq, cfg)
+    for method in ("fft", "mxu", "parseval", "pallas"):
+        proc = pipeline.SectorProcessor(cfg, method=method)
+        zdb, zdr = proc(jnp.asarray(iq[None], jnp.complex64))
+        err = oracle.relative_l2(zdb64, np.asarray(zdb)[0])
+        assert err < 2e-4, (method, m, n, channels, err)
