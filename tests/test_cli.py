@@ -58,3 +58,33 @@ def test_compare_failing_threshold(tmp_path, capsys):
     a.write_text("1.0\n2.0\n")
     b.write_text("1.5\n2.5\n")
     assert cli.main(["compare", str(a), str(b), "--threshold", "1e-6"]) == 1
+
+
+def test_volume_inspect_and_export(tmp_path, capsys):
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = tiny_config(m=16, n=8)
+    vs = VolumeScan(cfg, tmp_path / "v.npz")
+    vs.store(0, 0, np.arange(8, dtype=np.float32),
+             np.zeros(8, dtype=np.float32))
+    vs.save()
+
+    import json as json_mod
+    import wrp_tpu.config as config_mod
+
+    # cmd_volume loads checkpoints with DEFAULT_CONFIG; swap in the tiny
+    # geometry for the duration of the call
+    orig = config_mod.DEFAULT_CONFIG
+    config_mod.DEFAULT_CONFIG = cfg
+    try:
+        rc = cli.main(["volume", str(tmp_path / "v.npz"),
+                       "--export", str(tmp_path / "e.npz")])
+    finally:
+        config_mod.DEFAULT_CONFIG = orig
+    assert rc == 0
+    info = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["sectors_covered"] == 1 and not info["complete"]
+    dumped = np.load(tmp_path / "e.npz")
+    assert dumped["zdb"].shape == (cfg.num_output_bins, cfg.num_sectors,
+                                   cfg.num_elevations)

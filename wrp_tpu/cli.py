@@ -192,6 +192,38 @@ def cmd_stream(args):
     return 0
 
 
+def cmd_volume(args):
+    """Inspect / export a volume-scan checkpoint (the persistent form of
+    the reference's in-memory result[2, 512, 143, 9] buffer, rpv2.cu:292)."""
+    import numpy as np
+
+    from .config import DEFAULT_CONFIG
+    from .runtime import VolumeScan
+
+    vs = VolumeScan.load(args.checkpoint, DEFAULT_CONFIG)
+    zdb = vs.data[0]
+    covered = vs.coverage
+    info = {
+        "coverage": round(vs.fraction(), 4),
+        "sectors_covered": int(covered.sum()),
+        "elevations_touched": int(covered.any(axis=0).sum()),
+        "complete": vs.complete(),
+    }
+    if covered.any():
+        vals = zdb[1:, covered]          # skip the always -inf bin 0
+        finite = vals[np.isfinite(vals)]
+        if finite.size:
+            info["zdb_min"] = round(float(finite.min()), 2)
+            info["zdb_max"] = round(float(finite.max()), 2)
+            info["zdb_mean"] = round(float(finite.mean()), 2)
+    print(json.dumps(info))
+    if args.export:
+        np.savez(args.export, zdb=vs.data[0], zdr=vs.data[1],
+                 coverage=vs.coverage)
+        print(f"exported -> {args.export}", file=sys.stderr)
+    return 0
+
+
 def cmd_produce(args):
     from . import oracle
     from .config import DEFAULT_CONFIG
@@ -331,6 +363,11 @@ def main(argv=None):
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--host-id", type=int, default=0)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("volume", help="inspect/export a volume checkpoint")
+    p.add_argument("checkpoint", help="volume .npz path")
+    p.add_argument("--export", default=None, help="write plain .npz arrays")
+    p.set_defaults(fn=cmd_volume)
 
     p = sub.add_parser("produce", help="replay sectors onto the wire")
     p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
