@@ -259,6 +259,7 @@ class StreamingExecutor:
                                   name="wrp-ingest")
         ingest.start()
         processed = 0
+        next_progress = 100
         try:
             while True:
                 tasks = self._drain_batch()
@@ -266,6 +267,15 @@ class StreamingExecutor:
                     break
                 self._process_batch(tasks)
                 processed += len(tasks)
+                if processed >= next_progress:
+                    # the reference's sector-id progress prints
+                    # (gpu_1fp_streamcasc.cu:658), rate-limited
+                    log.info("processed %d sectors (%.1f/s)", processed,
+                             self.throughput.overall())
+                    next_progress += 100
+        except KeyboardInterrupt:
+            log.info("interrupted after %d sectors, shutting down",
+                     processed)
         finally:
             self._stop.set()
             ingest.join(timeout=5)
