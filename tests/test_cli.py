@@ -71,17 +71,10 @@ def test_volume_inspect_and_export(tmp_path, capsys):
     vs.save()
 
     import json as json_mod
-    import wrp_tpu.config as config_mod
 
-    # cmd_volume loads checkpoints with DEFAULT_CONFIG; swap in the tiny
-    # geometry for the duration of the call
-    orig = config_mod.DEFAULT_CONFIG
-    config_mod.DEFAULT_CONFIG = cfg
-    try:
-        rc = cli.main(["volume", str(tmp_path / "v.npz"),
-                       "--export", str(tmp_path / "e.npz")])
-    finally:
-        config_mod.DEFAULT_CONFIG = orig
+    # checkpoints are self-describing: no config needed to inspect them
+    rc = cli.main(["volume", str(tmp_path / "v.npz"),
+                   "--export", str(tmp_path / "e.npz")])
     assert rc == 0
     info = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["sectors_covered"] == 1 and not info["complete"]

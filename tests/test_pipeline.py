@@ -187,8 +187,10 @@ def test_geometry_sweep_all_methods(m, n, channels):
     cfg = tiny_config(m=m, n=n, channels=channels)
     iq = oracle.synthetic_iq(cfg, kind="noise", seed=m + n)
     zdb64, zdr64 = oracle.process_sector(iq, cfg)
-    for method in ("fft", "mxu", "parseval", "pallas"):
+    for method in ("fft", "mxu", "parseval", "pallas", "radix"):
         proc = pipeline.SectorProcessor(cfg, method=method)
         zdb, zdr = proc(jnp.asarray(iq[None], jnp.complex64))
         err = oracle.relative_l2(zdb64, np.asarray(zdb)[0])
         assert err < 2e-4, (method, m, n, channels, err)
+        err_zdr = oracle.relative_l2(zdr64, np.asarray(zdr)[0])
+        assert err_zdr < 5e-4, ("zdr", method, m, n, channels, err_zdr)

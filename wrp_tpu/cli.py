@@ -195,12 +195,9 @@ def cmd_stream(args):
 def cmd_volume(args):
     """Inspect / export a volume-scan checkpoint (the persistent form of
     the reference's in-memory result[2, 512, 143, 9] buffer, rpv2.cu:292)."""
-    import numpy as np
-
-    from .config import DEFAULT_CONFIG
     from .runtime import VolumeScan
 
-    vs = VolumeScan.load(args.checkpoint, DEFAULT_CONFIG)
+    vs = VolumeScan.load(args.checkpoint)   # geometry is self-describing
     zdb = vs.data[0]
     covered = vs.coverage
     info = {

@@ -170,13 +170,22 @@ class StreamingExecutor:
                             wire, self.cfg, radix=self._decode_radix)
                     else:
                         planar = codec.decode_iq(wire, self.cfg)
-                self._queue.put(SectorTask(planar, sector, elevation))
+                task = SectorTask(planar, sector, elevation)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(task, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue  # shutdown must not hang on a full queue
                 self._advance()
                 received += 1
         except BaseException as e:  # surface into run()
             self._ingest_error = e
         finally:
-            self._queue.put(None)
+            try:
+                self._queue.put_nowait(None)
+            except queue.Full:
+                pass  # consumer is gone; run() is already unwinding
 
     # ------------------------------------------------------------------
     # compute side
@@ -269,10 +278,12 @@ class StreamingExecutor:
                 processed += len(tasks)
                 if processed >= next_progress:
                     # the reference's sector-id progress prints
-                    # (gpu_1fp_streamcasc.cu:658), rate-limited
+                    # (gpu_1fp_streamcasc.cu:658), rate-limited; the
+                    # rolling-window rate excludes the warmup compile
                     log.info("processed %d sectors (%.1f/s)", processed,
-                             self.throughput.overall())
-                    next_progress += 100
+                             self.throughput.rate())
+                    while processed >= next_progress:
+                        next_progress += 100
         except KeyboardInterrupt:
             log.info("interrupted after %d sectors, shutting down",
                      processed)

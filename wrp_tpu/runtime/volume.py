@@ -70,13 +70,24 @@ class VolumeScan:
 
     @classmethod
     def load(cls, path: str | Path,
-             cfg: RadarConfig = DEFAULT_CONFIG) -> "VolumeScan":
+             cfg: Optional[RadarConfig] = None) -> "VolumeScan":
+        """cfg=None reconstructs the geometry from the checkpoint itself
+        (it is self-describing); passing a config enforces a match."""
+        import dataclasses
+
         with np.load(path) as z:
-            geom = z["geometry"]
-            if tuple(geom) != (cfg.num_output_bins, cfg.num_sectors,
-                               cfg.num_elevations):
+            geom = tuple(int(v) for v in z["geometry"])
+            if cfg is None:
+                cfg = dataclasses.replace(
+                    DEFAULT_CONFIG,
+                    num_range_cells=2 * geom[0],
+                    num_sectors=geom[1],
+                    num_elevations=geom[2],
+                )
+            elif geom != (cfg.num_output_bins, cfg.num_sectors,
+                          cfg.num_elevations):
                 raise ValueError(
-                    f"checkpoint geometry {tuple(geom)} != config "
+                    f"checkpoint geometry {geom} != config "
                     f"{(cfg.num_output_bins, cfg.num_sectors, cfg.num_elevations)}"
                 )
             vs = cls(cfg, path)
