@@ -52,6 +52,17 @@ def iq_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, None, None, None, SEQ_AXIS))
 
 
+def iq_sharding_flat(mesh: Mesh) -> NamedSharding:
+    """Planar IQ [batch, channel, 2, m, n]: batch over EVERY mesh axis.
+
+    The layout for the fused-kernel (pallas) sharded path: sectors are
+    embarrassingly parallel (the reference's own sector loop,
+    rpv2.cu:572-579), so all devices — including any seq-axis ones —
+    take batch shards and run the whole chain locally with zero
+    collectives."""
+    return NamedSharding(mesh, P((DATA_AXIS, SEQ_AXIS), None, None, None, None))
+
+
 def result_sharding(mesh: Mesh) -> NamedSharding:
     """Products [batch, m/2]: batch over data, replicated over seq."""
     return NamedSharding(mesh, P(DATA_AXIS, None))

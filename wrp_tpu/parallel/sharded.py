@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import RadarConfig, DEFAULT_CONFIG
 from ..constants import PipelineConstants
 from .. import pipeline
-from .mesh import DATA_AXIS, SEQ_AXIS, iq_sharding, result_sharding
+from .mesh import (DATA_AXIS, SEQ_AXIS, iq_sharding, iq_sharding_flat,
+                   result_sharding)
 
 
 def _shard_body(
@@ -110,15 +111,20 @@ def build_sharded_processor(
     method: str = "mxu",
 ):
     """Returns (step, in_sharding): `step(iq_planar[B, C, 2, m, n]) ->
-    (zdb, zdr)`, jit-compiled over the mesh with the transpose-FFT seq
-    sharding.  Use `shard_batch` to lay out the input.
+    (zdb, zdr)`, jit-compiled over the mesh.  Use `shard_batch(iq, mesh,
+    in_sharding)` to lay out the input.
 
-    B must divide by the data-axis size; n and m/2 by the seq-axis size.
+    method="mxu"|"fft": transpose-FFT seq sharding — B must divide by the
+    data-axis size; n and m/2 by the seq-axis size.
+    method="pallas": the fused flagship kernel, pure data-parallel over
+    every mesh device — B must divide by the total device count.
     """
     if mesh is None:
         from .mesh import make_mesh
 
         mesh = make_mesh()
+    if method == "pallas":
+        return _build_pallas_sharded(cfg, mesh)
     seq_size = mesh.shape[SEQ_AXIS]
     if cfg.num_pulses % seq_size or (cfg.num_range_cells // 2) % seq_size:
         raise ValueError(
@@ -143,11 +149,50 @@ def build_sharded_processor(
     return step, iq_sharding(mesh)
 
 
-def shard_batch(iq: np.ndarray, mesh: Mesh) -> jax.Array:
+def _build_pallas_sharded(cfg: RadarConfig, mesh: Mesh):
+    """The flagship fused Pallas kernel under shard_map.
+
+    Sectors are independent problems (the reference's sector loop,
+    rpv2.cu:572-579), so the kernel scales pure data-parallel: the batch
+    axis is sharded over EVERY mesh device (data and seq axes flattened)
+    and each device runs the full fused chain on its local sectors — zero
+    collectives, perfect weak scaling.  B must divide by the total device
+    count.  Off-TPU the kernel runs in interpret mode (tests/dryrun)."""
+    from ..ops.pallas.fullchain import build_pallas_processor
+
+    consts = PipelineConstants.build(cfg)
+    interpret = jax.default_backend() != "tpu"
+    power_fn = build_pallas_processor(consts, interpret=interpret)
+    gain = jnp.asarray(consts.gain)
+
+    def body(iq_planar):
+        pow_all = power_fn(iq_planar)
+        return pipeline.stage09_10_products(pow_all[:, 0], pow_all[:, 1],
+                                            gain)
+
+    batch_axes = (DATA_AXIS, SEQ_AXIS)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(batch_axes, None, None, None, None),
+        out_specs=(P(batch_axes, None), P(batch_axes, None)),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation;
+        # the body is trivially per-shard (no collectives), so the static
+        # VMA check adds nothing here.
+        check_vma=False,
+    )
+    return jax.jit(sharded), iq_sharding_flat(mesh)
+
+
+def shard_batch(iq: np.ndarray, mesh: Mesh,
+                sharding=None) -> jax.Array:
     """Host batch -> device array laid out for the sharded processor.
 
     Accepts complex [B, C, m, n] (converted to planar host-side) or planar
-    float32 [B, C, 2, m, n]."""
+    float32 [B, C, 2, m, n].  `sharding` overrides the default transpose-FFT
+    layout (pass the in_sharding returned by build_sharded_processor, e.g.
+    the flat data-parallel layout of the pallas path)."""
     if np.iscomplexobj(iq):
         iq = pipeline.to_planar(np.asarray(iq))
-    return jax.device_put(iq, iq_sharding(mesh))
+    return jax.device_put(iq, sharding if sharding is not None
+                          else iq_sharding(mesh))
