@@ -100,6 +100,123 @@ def test_executor_end_to_end():
     assert "compute/dispatch" in stats["timers"]
 
 
+def test_executor_periodic_checkpoint_and_crash_resume(tmp_path):
+    """Kill-mid-volume scenario (VERDICT round 1, item 3): the executor
+    saves periodically, so a run that dies WITHOUT an exit-time save still
+    leaves a resumable checkpoint; a restarted executor loads it and fills
+    in the rest of the volume."""
+    cfg = tiny_config(m=32, n=16)
+    path = tmp_path / "vol.npz"
+    n1 = 6
+
+    # first run: periodic save after every batch, then "crash" (no
+    # exit-time save, the executor object is simply abandoned)
+    vs = VolumeScan(cfg, path)
+    ex = StreamingExecutor(cfg, transport=_FakeTransport(cfg, n1),
+                           batch=2, max_sectors=n1, volume=vs,
+                           checkpoint_every_s=0.0)
+    stats = ex.run()
+    assert stats["checkpoints_written"] >= 1
+    assert path.exists()
+
+    # restart: the CLI's resume path loads coverage from the file
+    from wrp_tpu.cli import _open_volume
+
+    vs2 = _open_volume(cfg, path)
+    assert vs2.coverage.sum() == n1
+    np.testing.assert_array_equal(vs2.data, vs.data)
+
+    # second run continues the scan (FakeTransport restarts at sector 0;
+    # shift the executor's counters so new sectors land after the first 6)
+    n2 = 4
+    ex2 = StreamingExecutor(cfg, transport=_FakeTransport(cfg, n2),
+                            batch=2, max_sectors=n2, volume=vs2,
+                            checkpoint_every_s=0.0)
+    ex2._sector = n1 % cfg.num_sectors
+    ex2._elevation = n1 // cfg.num_sectors
+    ex2.run()
+    vs3 = VolumeScan.load(path, cfg)
+    assert vs3.coverage.sum() == n1 + n2
+
+
+def test_open_volume_fresh_and_geometry_mismatch(tmp_path):
+    from wrp_tpu.cli import _open_volume
+
+    cfg = tiny_config(m=16, n=8)
+    path = tmp_path / "v.npz"
+    vs = _open_volume(cfg, path)          # fresh: no file yet
+    assert vs.fraction() == 0.0 and vs.path == path
+    vs.store(0, 0, np.zeros(cfg.num_output_bins, np.float32),
+             np.zeros(cfg.num_output_bins, np.float32))
+    vs.save()
+    with pytest.raises(ValueError):       # stale file from another radar
+        _open_volume(tiny_config(m=32, n=8), path)
+
+
+def test_executor_checkpoint_disabled(tmp_path):
+    cfg = tiny_config(m=32, n=16)
+    path = tmp_path / "vol.npz"
+    ex = StreamingExecutor(cfg, transport=_FakeTransport(cfg, 2),
+                           batch=2, max_sectors=2,
+                           volume=VolumeScan(cfg, path),
+                           checkpoint_every_s=None)
+    stats = ex.run()
+    assert stats["checkpoints_written"] == 0
+    assert not path.exists()
+
+
+def test_two_deep_pipeline_dispatch_then_complete():
+    """The executor's H2D/compute overlap (VERDICT round 1, item 4): two
+    batches can be in flight before either is fetched, and the results are
+    still correct and in order."""
+    from wrp_tpu.io import codec
+    from wrp_tpu.pipeline import SectorProcessor
+
+    cfg = tiny_config(m=32, n=16)
+    transport = _FakeTransport(cfg, 4)
+    wires = list(transport.wires)
+    got = {}
+    ex = StreamingExecutor(
+        cfg, transport=transport, batch=2, max_sectors=4,
+        publish=lambda s, e, zdb, zdr: got.__setitem__(s, zdb.copy()),
+    )
+    ex.warmup()
+    mk = lambda k: SectorTask(codec.decode_iq(wires[k], cfg), k, 0)
+    p1 = ex._dispatch_batch([mk(0), mk(1)])
+    p2 = ex._dispatch_batch([mk(2), mk(3)])   # in flight before p1 fetched
+    assert ex._complete_batch(p1) == 2
+    assert ex._complete_batch(p2) == 2
+    assert ex.timers.summary()["compute/h2d_enqueue"]["count"] >= 2
+    proc = SectorProcessor(cfg, method="mxu")
+    for k in range(4):
+        zdb, _ = proc(codec.decode_iq(wires[k], cfg)[None])
+        np.testing.assert_array_equal(got[k], np.asarray(zdb)[0])
+
+
+def test_eof_sentinel_survives_full_queue():
+    """Regression (round-1 advisor): the ingest thread's EOF sentinel used
+    put_nowait and was silently swallowed when the queue was full — the
+    consumer then blocked forever.  The sentinel put must retry until the
+    (merely slow) consumer makes room."""
+    import threading
+    import time
+
+    cfg = tiny_config(m=32, n=16)
+    ex = StreamingExecutor(cfg, transport=None, batch=1, queue_depth=1,
+                           max_sectors=0)
+    task = SectorTask(np.zeros((3, 2, cfg.m, cfg.n), np.float32), 0, 0)
+    ex._queue.put_nowait(task)          # queue now full (maxsize 1)
+    t = threading.Thread(target=ex._ingest_loop, daemon=True)
+    ex._ingest_thread = t
+    t.start()
+    time.sleep(0.3)                     # old code lost the sentinel here
+    got = ex._drain_batch()
+    assert got and got[0] is task
+    assert ex._drain_batch() is None    # EOF still signalled
+    t.join(timeout=5)
+    assert not t.is_alive()
+
+
 def test_executor_results_match_direct_pipeline():
     from wrp_tpu.io import codec
     from wrp_tpu.pipeline import SectorProcessor

@@ -131,3 +131,35 @@ def test_tcp_partial_frame_drops_connection(cfg):
     assert h.sector == 3 and bytes(buf) == sectors[0][1]
     p2.close()
     ingest.close()
+
+
+def test_tcp_oversized_and_short_frames_drop_connection(cfg):
+    """Hostile/corrupt frame lengths must not buffer gigabytes or feed a
+    truncated payload into the codec (round-1 advisor): both drop the
+    connection, after which a fresh producer works."""
+    import socket as socket_mod
+    import struct
+
+    ingest = TcpIngest(cfg, port=0, timeout_s=0.5)
+
+    # 1 GiB declared length: rejected immediately, nothing buffered
+    raw = socket_mod.create_connection(("127.0.0.1", ingest.local_port))
+    raw.sendall(struct.pack(">I", 1 << 30))
+    buf, header = ingest.recv_sector()
+    assert buf is None and header is None
+    raw.close()
+
+    # short-but-complete frame (valid length header, wrong payload size)
+    raw2 = socket_mod.create_connection(("127.0.0.1", ingest.local_port))
+    raw2.sendall(struct.pack(">I", 10) + b"x" * 10)
+    buf, header = ingest.recv_sector()
+    assert buf is None and header is None
+    raw2.close()
+
+    sectors = _wire_sectors(cfg, 1)
+    p2 = TcpProducer(cfg, port=ingest.local_port)
+    p2.send_sector(sectors[0][1], sector=5)
+    buf, h = ingest.recv_sector()
+    assert h.sector == 5 and bytes(buf) == sectors[0][1]
+    p2.close()
+    ingest.close()

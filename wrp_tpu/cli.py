@@ -50,21 +50,26 @@ def cmd_process(args):
 
     if args.dump_stages:
         # The reference's staged-golden methodology (SURVEY.md section 4):
-        # write every stage boundary as XXname.altb files.
+        # write every stage boundary as XXname.altb files.  Pinned to the
+        # CPU backend: the stage-parity (fft) path needs complex64 arrays
+        # and jnp.fft, both unsupported on some TPU runtimes (axon).
+        import jax
         import jax.numpy as jnp
 
         from .constants import PipelineConstants
         from . import pipeline as pl_mod
 
         consts = PipelineConstants.build(cfg)
-        iq_c = jnp.asarray((planar[:, 0] + 1j * planar[:, 1]), jnp.complex64)
-        stages = pl_mod.all_stages(iq_c, consts)
+        with jax.default_device(jax.devices("cpu")[0]):
+            iq_c = jnp.asarray((planar[:, 0] + 1j * planar[:, 1]),
+                               jnp.complex64)
+            stages = {k: np.asarray(v)
+                      for k, v in pl_mod.all_stages(iq_c, consts).items()}
         from pathlib import Path
 
         outdir = Path(args.dump_stages)
         outdir.mkdir(parents=True, exist_ok=True)
         for name, arr in stages.items():
-            arr = np.asarray(arr)
             if np.iscomplexobj(arr):
                 arr = np.abs(arr)
             write_ascii_matrix(outdir / f"{name}.altb",
@@ -74,7 +79,8 @@ def cmd_process(args):
     if args.timings:
         # per-stage wall-clock breakdown, the read_gpu.cu tick/tock
         # methodology (SURVEY.md section 5): force each stage boundary
-        # with a device sync before timestamping.
+        # with a device sync before timestamping.  CPU-pinned like
+        # --dump-stages (complex64/FFT restrictions on TPU runtimes).
         import jax
         import jax.numpy as jnp
 
@@ -82,24 +88,27 @@ def cmd_process(args):
         from .constants import PipelineConstants
 
         consts = PipelineConstants.build(cfg)
-        iq_c = jnp.asarray(planar[:, 0] + 1j * planar[:, 1], jnp.complex64)
-        t_last = time.perf_counter()
-        marks = []
-        prev = None
-        for name, fn in [
-            ("01hamm", lambda x: pl_mod.stage01_window(
-                x, jnp.asarray(consts.hamming, jnp.float32))),
-            ("02fft1", pl_mod.stage02_range_fft),
-            ("03fft2", pl_mod.stage03_doppler),
-            ("04abs", pl_mod.stage04_power),
-            ("07conv", lambda p: pl_mod.matched_filter_direct(
-                p, consts.ma_taps)),
-            ("08pow", pl_mod.stage08_pulse_sum),
-        ]:
-            prev = jax.block_until_ready(fn(iq_c if prev is None else prev))
-            now = time.perf_counter()
-            marks.append((name, (now - t_last) * 1e6))
-            t_last = now
+        with jax.default_device(jax.devices("cpu")[0]):
+            iq_c = jnp.asarray(planar[:, 0] + 1j * planar[:, 1],
+                               jnp.complex64)
+            t_last = time.perf_counter()
+            marks = []
+            prev = None
+            for name, fn in [
+                ("01hamm", lambda x: pl_mod.stage01_window(
+                    x, jnp.asarray(consts.hamming, jnp.float32))),
+                ("02fft1", pl_mod.stage02_range_fft),
+                ("03fft2", pl_mod.stage03_doppler),
+                ("04abs", pl_mod.stage04_power),
+                ("07conv", lambda p: pl_mod.matched_filter_direct(
+                    p, consts.ma_taps)),
+                ("08pow", pl_mod.stage08_pulse_sum),
+            ]:
+                prev = jax.block_until_ready(
+                    fn(iq_c if prev is None else prev))
+                now = time.perf_counter()
+                marks.append((name, (now - t_last) * 1e6))
+                t_last = now
         for name, us in marks:
             print(f"stage {name}: {us:.0f} us", file=sys.stderr)
 
@@ -137,6 +146,24 @@ def cmd_compare(args):
     print(json.dumps({"relative_l2": err, "threshold": args.threshold,
                       "pass": err <= args.threshold}))
     return 0 if err <= args.threshold else 1
+
+
+def _open_volume(cfg, path):
+    """Resume the volume scan from an existing checkpoint, else start
+    fresh.  The checkpoint is self-describing; passing cfg enforces a
+    geometry match so a stale file from a different radar can't silently
+    corrupt the scan."""
+    from pathlib import Path
+
+    from .runtime import VolumeScan
+    from .runtime.metrics import log
+
+    if Path(path).exists():
+        vs = VolumeScan.load(path, cfg)
+        log.info("resuming volume scan from %s (%.1f%% covered)",
+                 path, 100 * vs.fraction())
+        return vs
+    return VolumeScan(cfg, path)
 
 
 def cmd_stream(args):
@@ -177,12 +204,14 @@ def cmd_stream(args):
         processor = MultiHostProcessor.build(
             cfg, per_host_batch=args.batch, method=args.method).step_local
 
-    volume = VolumeScan(cfg, args.checkpoint) if args.checkpoint else None
+    volume = _open_volume(cfg, args.checkpoint) if args.checkpoint else None
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,
         max_sectors=args.max_sectors, idle_limit=args.idle_limit,
         processor=processor, lockstep=args.coordinator is not None,
+        checkpoint_every_s=(None if args.checkpoint_every < 0
+                            else args.checkpoint_every),
     )
     stats = ex.run()
     if volume is not None and args.checkpoint:
@@ -348,7 +377,11 @@ def main(argv=None):
     p.add_argument("--zmq-pub", default=None)
     p.add_argument("--result-port", type=int, default=None,
                    help="tcp transport: result collector port")
-    p.add_argument("--checkpoint", default=None, help="volume .npz path")
+    p.add_argument("--checkpoint", default=None,
+                   help="volume .npz path; resumes coverage if it exists")
+    p.add_argument("--checkpoint-every", type=float, default=30.0,
+                   help="periodic save interval in seconds (0 saves "
+                        "every batch; negative disables periodic saves)")
     p.add_argument("--debug-sync", action="store_true",
                    help="validate numerics every batch (rpv2 gpuErrchk mode)")
     p.add_argument("--max-sectors", type=int, default=None)

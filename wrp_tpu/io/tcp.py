@@ -33,6 +33,12 @@ class _PartialRead(Exception):
     the connection must be dropped (a plain retry would misparse)."""
 
 
+class _BadFrame(Exception):
+    """Declared frame length is impossible for this endpoint: a corrupt or
+    hostile peer.  Handled like a desync — drop the connection — instead
+    of buffering up to 4 GiB on a bogus u32 length."""
+
+
 def _recv_exact(sock: socket.socket, nbytes: int) -> Optional[bytes]:
     """Read exactly nbytes; None on clean EOF.  Raises socket.timeout on
     an idle boundary, _PartialRead on a mid-frame stall."""
@@ -58,11 +64,13 @@ def _send_msg(sock: socket.socket, payload: bytes) -> None:
     sock.sendall(_LEN.pack(len(payload)) + payload)
 
 
-def _recv_msg(sock: socket.socket) -> Optional[bytes]:
+def _recv_msg(sock: socket.socket, max_len: int) -> Optional[bytes]:
     head = _recv_exact(sock, _LEN.size)
     if head is None:
         return None
     (length,) = _LEN.unpack(head)
+    if length > max_len:
+        raise _BadFrame()
     body = _recv_exact(sock, length)
     if body is None:           # EOF between header and body: desynced
         raise _PartialRead()
@@ -104,19 +112,25 @@ class TcpIngest:
     def recv_sector(self):
         if self._conn is None and not self._accept():
             return None, None
+        expected = _ING.size + self.cfg.sector_nbytes_wire
         try:
-            msg = _recv_msg(self._conn)
+            msg = _recv_msg(self._conn, max_len=expected)
         except socket.timeout:
             return None, None
-        except _PartialRead:
-            # mid-frame stall/EOF: the byte stream is desynced — drop the
-            # connection (the reference's blocking recv would hang or
-            # silently misparse here, SURVEY.md section 5)
+        except (_PartialRead, _BadFrame):
+            # mid-frame stall/EOF or an impossible declared length: the
+            # byte stream is desynced/corrupt — drop the connection (the
+            # reference's blocking recv would hang or silently misparse
+            # here, SURVEY.md section 5)
             self._conn.close()
             self._conn = None
             return None, None
         if msg is None:  # producer closed; await the next one
             self._conn.close()
+            self._conn = None
+            return None, None
+        if len(msg) != expected:  # short frame: don't feed a truncated
+            self._conn.close()    # payload into the codec
             self._conn = None
             return None, None
         sector, elevation = _ING.unpack_from(msg, 0)
@@ -224,10 +238,11 @@ class TcpResultConsumer:
                 return None
             self._conn.settimeout(self._timeout_s)
         try:
-            msg = _recv_msg(self._conn)
+            msg = _recv_msg(self._conn,
+                            max_len=1 + 4 + 4 * self.cfg.num_output_bins)
         except socket.timeout:
             return None
-        except _PartialRead:
+        except (_PartialRead, _BadFrame):
             self._conn.close()
             self._conn = None
             return None

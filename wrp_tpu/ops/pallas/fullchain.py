@@ -261,12 +261,11 @@ def radix_plan_host(consts: PipelineConstants, radix: int):
     Returns (a_split [R, 6, M, M] bf16, twiddles [R, 2, M] f32,
     fac [S][R] static complex combine factors).
     """
-    from ...constants import dft_matrix, hamming_factors
+    from ...constants import dft_matrix
 
     mh, m = consts.op_a_half.shape
     M = m // radix
     S = (m // 2) // M
-    wr_c = None
     # recover wr*c from the dense operator row 0: A[0, j] = wr[j]*c
     wr_c = np.ascontiguousarray(consts.op_a_half[0]).astype(np.complex128)
     wr_c = wr_c.real  # row 0 of F is all ones -> A[0] = wr*c exactly

@@ -4,15 +4,18 @@ stream-cascade pipeline (gpu_1fp_streamcasc.cu:485-737).
 The reference's software pipeline overlapped, per sector: host UDP ingest of
 sector k+1, GPU compute of sector k on a round-robin CUDA stream, and D2H of
 sector k-1's 4 KB result.  Here the same overlap falls out of a two-thread
-design with JAX's async dispatch:
+design plus a two-deep batch pipeline riding JAX's async dispatch:
 
   ingest thread:  transport recv -> native/numpy decode -> planar queue
-  compute thread: batch up to `batch` sectors -> device_put -> jit chain
-                  -> D2H fetch -> egress + volume-scan accumulation
+  compute thread: drain batch k+1 -> enqueue its H2D (jax.device_put,
+                  async) + dispatch the jit chain (async) -> only then
+                  fetch batch k's products -> egress + volume accumulation
 
 While the device runs batch k, the ingest thread is already decoding batch
-k+1 (the reference's proven bottleneck — SURVEY.md section 6 shows host
-input dominated every GPU variant).  Batching replaces CUDA streams: one
+k+2 and the compute thread is staging batch k+1's transfer — the reference's
+proven bottlenecks (SURVEY.md section 6 shows host input dominated every GPU
+variant; its fix was async H2D on the next stream,
+gpu_1fp_streamcasc.cu:680-688).  Batching replaces CUDA streams: one
 dispatch of [B, C, 2, m, n] keeps the chip busier than round-robin
 single-sector launches ever could.
 
@@ -68,6 +71,7 @@ class StreamingExecutor:
         idle_limit: Optional[int] = None,
         processor: Optional[Callable] = None,
         lockstep: bool = False,
+        checkpoint_every_s: Optional[float] = 30.0,
     ):
         """idle_limit: stop after this many consecutive idle receive
         timeouts (None = listen forever, the service default).
@@ -78,7 +82,13 @@ class StreamingExecutor:
 
         lockstep: wait for FULL batches (except at end-of-stream) so every
         host in a multi-host mesh issues the same number of collective
-        steps for the same sector count."""
+        steps for the same sector count.
+
+        checkpoint_every_s: when a volume with a checkpoint path is
+        attached, save it at most this often (atomic rename, volume.py)
+        so a crash mid-volume loses at most this much work; <= 0 saves
+        after every batch, None disables periodic saves (exit-time save
+        only, the round-1 behaviour)."""
         self.cfg = cfg
         self.transport = transport
         self.publish = publish
@@ -88,24 +98,34 @@ class StreamingExecutor:
         self.idle_limit = idle_limit
         self.lockstep = lockstep
         self.volume = volume
+        self.checkpoint_every_s = checkpoint_every_s
+        self._last_checkpoint = 0.0
+        self.checkpoints_written = 0
         self.timers = StageTimers()
         self.throughput = Throughput()
         if processor is not None:
             self.processor = processor
             self._decode_radix = 0          # external step: natural f32
+            self._do_device_put = False     # steps own their placement
+            self._device = None
         elif method == "pallas":
             # fused-kernel fast path: compact int16 feed, rows decoded
             # straight into radix-DIT order (no on-device permutation)
             self.processor = SectorProcessor(cfg, method=method,
                                              layout="radix")
             self._decode_radix = self.processor.input_radix
+            self._do_device_put = True
+            self._device = self.processor.device
         else:
             self.processor = SectorProcessor(cfg, method=method)
             self._decode_radix = 0
+            self._do_device_put = True
+            self._device = self.processor.device
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
         self._stop = threading.Event()
+        self._ingest_thread: Optional[threading.Thread] = None
         self._ingest_error: Optional[BaseException] = None
         self.bad_headers = 0
         # reference counters (rpv2.cu:46-51, advance() :572-579)
@@ -182,10 +202,17 @@ class StreamingExecutor:
         except BaseException as e:  # surface into run()
             self._ingest_error = e
         finally:
-            try:
-                self._queue.put_nowait(None)
-            except queue.Full:
-                pass  # consumer is gone; run() is already unwinding
+            # The EOF sentinel must not be lost: a full queue here usually
+            # means the consumer is merely slow (it will drain and make
+            # room), so retry until the put lands.  Only a set _stop —
+            # run() unwinding, never to read the queue again — makes the
+            # sentinel unnecessary.
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     # ------------------------------------------------------------------
     # compute side
@@ -194,23 +221,50 @@ class StreamingExecutor:
     def _drain_batch(self):
         """Collect up to `batch` queued sectors (at least one, else None)."""
         tasks = []
-        item = self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=0.5)
+                break
+            except queue.Empty:
+                # Defensive liveness check: if the ingest thread died and
+                # the queue stayed empty (its EOF sentinel should prevent
+                # this), don't block forever.
+                t = self._ingest_thread
+                if t is not None and not t.is_alive():
+                    return None
         if item is None:
             return None
         tasks.append(item)
         while len(tasks) < self.batch:
-            try:
-                item = (self._queue.get() if self.lockstep
-                        else self._queue.get_nowait())
-            except queue.Empty:
-                break
+            if self.lockstep:
+                # full batches only (identical collective step counts on
+                # every host); keep waiting unless ingest is provably done
+                try:
+                    item = self._queue.get(timeout=0.5)
+                except queue.Empty:
+                    t = self._ingest_thread
+                    if t is not None and not t.is_alive() and self._queue.empty():
+                        break  # ingest gone + sentinel consumed elsewhere
+                    continue
+            else:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
             if item is None:
                 self._queue.put(None)  # re-signal EOF for next round
                 break
             tasks.append(item)
         return tasks
 
-    def _process_batch(self, tasks):
+    def _dispatch_batch(self, tasks):
+        """Stage a batch on device (async H2D) and dispatch the compiled
+        chain; returns (tasks, zdb, zdr) with the device arrays still in
+        flight.  The TPU analogue of the reference's async H2D on the next
+        CUDA stream (gpu_1fp_streamcasc.cu:680-688): jax.device_put returns
+        immediately with the transfer enqueued, and the jitted dispatch is
+        async too, so the caller can keep draining/staging batch k+1 while
+        batch k computes."""
         # Pad to the fixed batch shape: one compiled executable for the
         # whole stream (a mid-stream recompile stalls ingest long enough
         # to overflow the receive buffer).
@@ -219,8 +273,20 @@ class StreamingExecutor:
             pad = np.zeros((self.batch - len(tasks), *planar.shape[1:]),
                            planar.dtype)
             planar = np.concatenate([planar, pad])
+        if self._do_device_put:
+            import jax
+
+            with self.timers.time("compute/h2d_enqueue"):
+                planar = jax.device_put(planar, self._device)
         with self.timers.time("compute/dispatch"):
             zdb, zdr = self.processor(planar)
+        return tasks, zdb, zdr
+
+    def _complete_batch(self, pending) -> int:
+        """Fetch a dispatched batch's products (D2H, blocks until compute
+        finishes) and run the host-side epilogue: volume store, egress,
+        throughput, periodic checkpoint."""
+        tasks, zdb, zdr = pending
         with self.timers.time("compute/fetch"):
             zdb = np.asarray(zdb)[: len(tasks)]
             zdr = np.asarray(zdr)[: len(tasks)]
@@ -237,6 +303,27 @@ class StreamingExecutor:
                 with self.timers.time("egress/send"):
                     self._publish_one(t, zdb[k], zdr[k])
         self.throughput.tick(len(tasks))
+        self._maybe_checkpoint()
+        return len(tasks)
+
+    def _process_batch(self, tasks):
+        """Synchronous dispatch + complete (debug_sync / tests)."""
+        return self._complete_batch(self._dispatch_batch(tasks))
+
+    def _maybe_checkpoint(self):
+        """Periodic crash-safe volume save (VolumeScan.save is an atomic
+        write-temp + rename, so a kill mid-save never corrupts the file)."""
+        if (self.volume is None or self.volume.path is None
+                or self.checkpoint_every_s is None):
+            return
+        import time
+
+        now = time.monotonic()
+        if now - self._last_checkpoint >= self.checkpoint_every_s:
+            with self.timers.time("checkpoint/save"):
+                self.volume.save()
+            self._last_checkpoint = now
+            self.checkpoints_written += 1
 
     def _publish_one(self, t: SectorTask, zdb, zdr):
         pub = self.publish
@@ -266,16 +353,36 @@ class StreamingExecutor:
         log.info("warmup complete, ingest starting")
         ingest = threading.Thread(target=self._ingest_loop, daemon=True,
                                   name="wrp-ingest")
+        self._ingest_thread = ingest
         ingest.start()
         processed = 0
         next_progress = 100
+        # Two-deep software pipeline (the reference's stream cascade,
+        # gpu_1fp_streamcasc.cu:527-737, minus the CUDA streams): while
+        # batch k computes on device, batch k+1 is drained from the ingest
+        # queue, stacked, and its H2D enqueued; only then is batch k's
+        # D2H fetch issued.  debug_sync degrades to fully synchronous
+        # batches (rpv2's sync-everything mode).
+        pending = None
         try:
             while True:
+                if pending is not None and self._queue.empty():
+                    # idle ingest: don't sit on finished results (the
+                    # fetch is the only remaining step; compute is already
+                    # in flight) — publish latency stays bounded even when
+                    # the producer pauses mid-stream
+                    processed += self._complete_batch(pending)
+                    pending = None
                 tasks = self._drain_batch()
                 if tasks is None:
                     break
-                self._process_batch(tasks)
-                processed += len(tasks)
+                nxt = self._dispatch_batch(tasks)
+                if pending is not None:
+                    processed += self._complete_batch(pending)
+                pending = nxt
+                if self.debug_sync:
+                    processed += self._complete_batch(pending)
+                    pending = None
                 if processed >= next_progress:
                     # the reference's sector-id progress prints
                     # (gpu_1fp_streamcasc.cu:658), rate-limited; the
@@ -284,9 +391,14 @@ class StreamingExecutor:
                              self.throughput.rate())
                     while processed >= next_progress:
                         next_progress += 100
+            if pending is not None:
+                processed += self._complete_batch(pending)
+                pending = None
         except KeyboardInterrupt:
             log.info("interrupted after %d sectors, shutting down",
                      processed)
+            if pending is not None:
+                processed += self._complete_batch(pending)
         finally:
             self._stop.set()
             ingest.join(timeout=5)
@@ -301,6 +413,7 @@ class StreamingExecutor:
         return {
             "processed_sectors": processed,
             "bad_headers": self.bad_headers,
+            "checkpoints_written": self.checkpoints_written,
             "sectors_per_second": round(self.throughput.overall(), 2),
             "timers": self.timers.summary(),
             "transport": dataclasses.asdict(self.transport.stats)
