@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import RadarConfig, DEFAULT_CONFIG
 from . import frames
+from .stats import IngestStats
 
 _LEN = struct.Struct(">I")
 _ING = struct.Struct(">HH")
@@ -87,6 +88,7 @@ class TcpIngest:
                  port: int | None = None, host: str = "",
                  timeout_s: Optional[float] = None):
         self.cfg = cfg
+        self.stats = IngestStats()
         self.port = port if port is not None else cfg.tcp_ingest_port
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -116,12 +118,14 @@ class TcpIngest:
         try:
             msg = _recv_msg(self._conn, max_len=expected)
         except socket.timeout:
+            self.stats.timeouts += 1
             return None, None
         except (_PartialRead, _BadFrame):
             # mid-frame stall/EOF or an impossible declared length: the
             # byte stream is desynced/corrupt — drop the connection (the
             # reference's blocking recv would hang or silently misparse
             # here, SURVEY.md section 5)
+            self.stats.dropped_sectors += 1
             self._conn.close()
             self._conn = None
             return None, None
@@ -129,11 +133,14 @@ class TcpIngest:
             self._conn.close()
             self._conn = None
             return None, None
+        self.stats.datagrams += 1
         if len(msg) != expected:  # short frame: don't feed a truncated
+            self.stats.dropped_sectors += 1
             self._conn.close()    # payload into the codec
             self._conn = None
             return None, None
         sector, elevation = _ING.unpack_from(msg, 0)
+        self.stats.sectors += 1
         return msg[_ING.size:], frames.IngestHeader(sector, elevation, row=0)
 
     def close(self):

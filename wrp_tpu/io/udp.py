@@ -13,7 +13,6 @@ uses frames.IngestHeader), and drop accounting.
 
 from __future__ import annotations
 
-import dataclasses
 import socket
 from typing import Optional
 
@@ -21,19 +20,11 @@ import numpy as np
 
 from ..config import RadarConfig, DEFAULT_CONFIG
 from . import frames
+from .stats import IngestStats
 
 import logging
 
 log = logging.getLogger("wrp_tpu")
-
-
-@dataclasses.dataclass
-class IngestStats:
-    sectors: int = 0
-    datagrams: int = 0
-    dropped_datagrams: int = 0
-    dropped_sectors: int = 0
-    timeouts: int = 0
 
 
 class UdpIngest:
@@ -94,7 +85,7 @@ class UdpIngest:
             # timeout must round UP, not silently disable itself
             self._timeout_ms = (max(1, int(timeout_s * 1000))
                                 if timeout_s is not None else -1)
-            self._nstats = np.zeros(4, np.int64)
+            self._nstats = np.zeros(5, np.int64)
             self._nhdr = np.zeros(3, np.int32)
         else:
             self._sock.settimeout(timeout_s)
@@ -121,6 +112,7 @@ class UdpIngest:
             return self._recv_sector_native(buf, m)
         view = memoryview(buf)
         first_header = None
+        filled = bytearray(m)   # unique-row tracking (extended headers)
         rows = 0
         while rows < m:
             try:
@@ -152,12 +144,24 @@ class UdpIngest:
                     self.stats.dropped_datagrams += m - rows
                     buf[:] = b"\x00" * len(buf)
                     first_header = header
+                    filled = bytearray(m)
                     rows = 0
                 row_idx = header.row
+                if not (0 <= row_idx < m):
+                    self.stats.dropped_datagrams += 1
+                    continue
+                # UDP permits duplicates: count UNIQUE rows, not
+                # datagrams, or a dup + one lost row would "complete" the
+                # sector with a silent zero-filled hole
+                if filled[row_idx]:
+                    self.stats.duplicate_datagrams += 1
+                    view[row_idx * self._row_bytes:
+                         (row_idx + 1) * self._row_bytes] = payload
+                    continue
+                filled[row_idx] = 1
             else:
-                row_idx = rows
-            if 0 <= row_idx < m:
-                view[row_idx * self._row_bytes:(row_idx + 1) * self._row_bytes] = payload
+                row_idx = rows  # bare v1 wire: rows arrive in order
+            view[row_idx * self._row_bytes:(row_idx + 1) * self._row_bytes] = payload
             rows += 1
         self.stats.sectors += 1
         return buf, first_header
@@ -176,6 +180,7 @@ class UdpIngest:
         self.stats.dropped_datagrams += int(d[1])
         self.stats.dropped_sectors += int(d[2])
         self.stats.timeouts += int(d[3])
+        self.stats.duplicate_datagrams += int(d[4])
         if rc == 0:
             return None, None
         if rc == -1:

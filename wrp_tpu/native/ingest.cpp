@@ -13,9 +13,11 @@
 // header (io/frames.py: ">HHHH" magic 0x5752, sector, elevation, row) and
 // implements the same drop/resync semantics as the Python path.
 
+#include <algorithm>
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 #include <sys/socket.h>
 #include <sys/time.h>
 
@@ -33,7 +35,8 @@ inline uint16_t be16u(const uint8_t *p) {
 extern "C" {
 
 // stats[0] += datagrams, stats[1] += dropped_datagrams,
-// stats[2] += dropped_sectors, stats[3] += timeouts.
+// stats[2] += dropped_sectors, stats[3] += timeouts,
+// stats[4] += duplicate_datagrams.
 // hdr_out: int32[3] = {has_header, sector, elevation}.
 // Returns: 1 sector received; 0 idle timeout (no datagram seen);
 //          -1 mid-sector stall (partial sector dropped); -2 socket error.
@@ -52,6 +55,10 @@ int32_t wrp_udp_recv_sector(int32_t fd, int32_t timeout_ms, uint8_t *out,
   int32_t first_sector = 0, first_elev = 0;
   hdr_out[0] = 0;
   int64_t got = 0;
+  // unique-row bitmap for the extended-header wire: UDP permits duplicate
+  // datagrams, so completing a sector on a datagram COUNT would let a dup
+  // plus one lost row slip through as a zero-filled hole
+  std::vector<uint8_t> filled(static_cast<size_t>(rows), 0);
   while (got < rows) {
     ssize_t nb = recv(fd, scratch, sizeof(scratch), 0);
     if (nb < 0) {
@@ -85,6 +92,7 @@ int32_t wrp_udp_recv_sector(int32_t fd, int32_t timeout_ms, uint8_t *out,
         stats[2] += 1;
         stats[1] += rows - got;
         std::memset(out, 0, static_cast<size_t>(rows) * row_bytes);
+        std::fill(filled.begin(), filled.end(), 0);
         first_sector = sector;
         first_elev = elev;
         got = 0;
@@ -94,16 +102,27 @@ int32_t wrp_udp_recv_sector(int32_t fd, int32_t timeout_ms, uint8_t *out,
       stats[1] += 1;
       continue;
     }
-    if (row_idx >= 0 && row_idx < rows) {
+    if (has_hdr) {
+      if (row_idx < 0 || row_idx >= rows) {
+        stats[1] += 1;
+        continue;
+      }
       std::memcpy(out + static_cast<size_t>(row_idx) * row_bytes, payload,
                   static_cast<size_t>(row_bytes));
-    }
-    got += 1;
-    if (has_hdr) {
       hdr_out[0] = 1;
       hdr_out[1] = first_sector;
       hdr_out[2] = first_elev;
+      if (filled[static_cast<size_t>(row_idx)]) {
+        stats[4] += 1;  // duplicate: do not advance the unique-row count
+        continue;
+      }
+      filled[static_cast<size_t>(row_idx)] = 1;
+    } else {
+      // bare v1 wire: rows arrive in order by contract
+      std::memcpy(out + static_cast<size_t>(got) * row_bytes, payload,
+                  static_cast<size_t>(row_bytes));
     }
+    got += 1;
   }
   return 1;
 }

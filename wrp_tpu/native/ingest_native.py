@@ -30,13 +30,14 @@ def recv_sector(fd: int, timeout_ms: int, out: bytearray | np.ndarray,
                 hdr: np.ndarray) -> int:
     """Receive one sector into `out` (rows*row_bytes bytes).
 
-    stats: int64[4] (datagrams, dropped_datagrams, dropped_sectors,
-    timeouts), incremented in place.  hdr: int32[3] (has_header, sector,
-    elevation) result.  Returns 1 ok, 0 idle, -1 stall, -2 socket error.
+    stats: int64[5] (datagrams, dropped_datagrams, dropped_sectors,
+    timeouts, duplicate_datagrams), incremented in place.  hdr: int32[3]
+    (has_header, sector, elevation) result.  Returns 1 ok, 0 idle,
+    -1 stall, -2 socket error.
     """
     buf = np.frombuffer(out, np.uint8)
     assert buf.size >= rows * row_bytes
-    assert stats.dtype == np.int64 and stats.size == 4
+    assert stats.dtype == np.int64 and stats.size == 5
     assert hdr.dtype == np.int32 and hdr.size == 3
     return _lib.wrp_udp_recv_sector(
         fd, timeout_ms, buf.ctypes.data, rows, row_bytes,
