@@ -67,7 +67,7 @@ def test_volume_inspect_and_export(tmp_path, capsys):
     cfg = tiny_config(m=16, n=8)
     vs = VolumeScan(cfg, tmp_path / "v.npz")
     vs.store(0, 0, np.arange(8, dtype=np.float32),
-             np.zeros(8, dtype=np.float32))
+             np.full(8, 2.5, dtype=np.float32))
     vs.save()
 
     import json as json_mod
@@ -78,6 +78,51 @@ def test_volume_inspect_and_export(tmp_path, capsys):
     assert rc == 0
     info = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["sectors_covered"] == 1 and not info["complete"]
+    # both products summarised (round-1 VERDICT: zdr had no stats)
+    assert info["zdb_max"] == 7.0
+    assert info["zdr_mean"] == 2.5
     dumped = np.load(tmp_path / "e.npz")
     assert dumped["zdb"].shape == (cfg.num_output_bins, cfg.num_sectors,
                                    cfg.num_elevations)
+
+
+def test_process_ascii_stdin_read_cc_format(tmp_path, monkeypatch):
+    """P1 parity (read.cc:106-123): a reference-era ASCII IQ capture —
+    "<i> <q>" pairs, all hh then all vv — replayed on stdin produces
+    99result-format output matching the fp64 oracle."""
+    import dataclasses
+    import io
+
+    from wrp_tpu import oracle
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.io.files import write_ascii_iq
+
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, num_channels=2)
+    iq = oracle.synthetic_iq(cfg2, kind="noise", seed=7)
+    buf = io.StringIO()
+    write_ascii_iq(buf, iq)
+    monkeypatch.setattr(sys, "stdin", io.StringIO(buf.getvalue()))
+
+    out = tmp_path / "res.out"
+    rc = cli.main(["process", "--input", "-", "--method", "mxu",
+                   "--output", str(out)])
+    assert rc == 0
+    rows = np.loadtxt(out)
+    zdb64, zdr64 = oracle.process_sector(iq, cfg2)
+    assert oracle.relative_l2(zdb64, rows[:, 0]) < 1e-6
+    assert oracle.relative_l2(zdr64, rows[:, 1]) < 1e-4
+
+
+def test_ascii_iq_roundtrip_and_size_check(tmp_path):
+    import io
+
+    from wrp_tpu.io.files import read_ascii_iq, write_ascii_iq
+
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal((2, 4, 6)) + 1j * rng.standard_normal((2, 4, 6)))
+    buf = io.StringIO()
+    write_ascii_iq(buf, iq)
+    back = read_ascii_iq(io.StringIO(buf.getvalue()), 4, 6, channels=2)
+    np.testing.assert_allclose(back, iq, rtol=1e-5)
+    with pytest.raises(ValueError):
+        read_ascii_iq(io.StringIO("1 2 3"), 4, 6, channels=2)

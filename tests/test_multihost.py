@@ -75,13 +75,14 @@ def test_two_process_mesh():
         assert rc == 0 and "MULTIHOST_OK" in out, (rc, out, err[-2000:])
 
 
-def test_two_host_lockstep_streaming():
+def test_two_host_lockstep_streaming(tmp_path):
     """Two `cli stream` processes form one mesh (--coordinator); each host
     ingests its own UDP feed and publishes its own sectors' products —
     the reference's producer->processor->consumer dataflow sharded 2 ways."""
     coord_port = _free_port()
     hosts = []
     ports = [(_free_port(), _free_port(), _free_port()) for _ in range(2)]
+    ready = [tmp_path / f"ready{pid}" for pid in range(2)]
     for pid in range(2):
         ing, zdb, zdr = ports[pid]
         env = {
@@ -96,6 +97,7 @@ def test_two_host_lockstep_streaming():
              "--transport", "udp", "--ingest-port", str(ing),
              "--zdb-port", str(zdb), "--zdr-port", str(zdr),
              "--batch", "2", "--max-sectors", "2", "--timeout", "60",
+             "--ready-file", str(ready[pid]),
              "--coordinator", f"127.0.0.1:{coord_port}",
              "--num-hosts", "2", "--host-id", str(pid)],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -103,8 +105,14 @@ def test_two_host_lockstep_streaming():
 
     import time
 
-    time.sleep(20)  # mesh join + compile + sockets up (tiny default geometry
-    # is not used here: full geometry compile on CPU takes a few seconds)
+    # readiness handshake, not a guessed sleep: each host touches its
+    # --ready-file after mesh join + warmup compile + ingest bind
+    deadline = time.monotonic() + 180
+    while not all(r.exists() for r in ready):
+        for p in hosts:
+            assert p.poll() is None, p.communicate()
+        assert time.monotonic() < deadline, "hosts never became ready"
+        time.sleep(0.5)
     for pid in range(2):
         subprocess.run(
             [sys.executable, "-m", "wrp_tpu.cli", "produce",

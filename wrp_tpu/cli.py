@@ -37,11 +37,22 @@ def cmd_process(args):
     from .config import DEFAULT_CONFIG
     from .pipeline import SectorProcessor
     from .io import codec
-    from .io.files import write_ascii_matrix
+    from .io.files import read_ascii_iq, write_ascii_matrix
 
     cfg = DEFAULT_CONFIG
     if args.input == "synthetic":
         iq = oracle.synthetic_iq(cfg, kind="noise", seed=args.seed)
+        planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    elif args.input == "-" or args.input.endswith(".altb"):
+        # reference-era ASCII IQ capture (read.cc:106-123 stdin format):
+        # "<i> <q>" pairs, all hh then all vv — a 2-channel sector
+        import dataclasses
+
+        stream = sys.stdin if args.input == "-" else open(args.input)
+        iq = read_ascii_iq(stream, cfg.m, cfg.n, channels=2)
+        if stream is not sys.stdin:
+            stream.close()
+        cfg = dataclasses.replace(cfg, num_channels=2)
         planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
     elif args.input.endswith(".npy"):
         planar = np.load(args.input)
@@ -148,6 +159,21 @@ def cmd_compare(args):
     return 0 if err <= args.threshold else 1
 
 
+def _ready_marker(path):
+    """Readiness callback for --ready-file: touch the file once warmup
+    compile is done and ingest is listening, so harnesses can gate the
+    producer start on it instead of a guessed sleep."""
+    if not path:
+        return None
+
+    def _touch():
+        from pathlib import Path
+
+        Path(path).touch()
+
+    return _touch
+
+
 def _open_volume(cfg, path):
     """Resume the volume scan from an existing checkpoint, else start
     fresh.  The checkpoint is self-describing; passing cfg enforces a
@@ -212,6 +238,10 @@ def cmd_stream(args):
         processor=processor, lockstep=args.coordinator is not None,
         checkpoint_every_s=(None if args.checkpoint_every < 0
                             else args.checkpoint_every),
+        # a peer that missed its recv timeout should show up in OUR logs
+        # shortly after, not look like a silent hang
+        stall_warning_s=max(10.0, 2.0 * (args.timeout or 0.0)),
+        on_ready=_ready_marker(args.ready_file),
     )
     stats = ex.run()
     if volume is not None and args.checkpoint:
@@ -227,7 +257,6 @@ def cmd_volume(args):
     from .runtime import VolumeScan
 
     vs = VolumeScan.load(args.checkpoint)   # geometry is self-describing
-    zdb = vs.data[0]
     covered = vs.coverage
     info = {
         "coverage": round(vs.fraction(), 4),
@@ -236,12 +265,14 @@ def cmd_volume(args):
         "complete": vs.complete(),
     }
     if covered.any():
-        vals = zdb[1:, covered]          # skip the always -inf bin 0
-        finite = vals[np.isfinite(vals)]
-        if finite.size:
-            info["zdb_min"] = round(float(finite.min()), 2)
-            info["zdb_max"] = round(float(finite.max()), 2)
-            info["zdb_mean"] = round(float(finite.mean()), 2)
+        # both products (read_single.cc:496-498): zdb = data[0], zdr = data[1]
+        for name, plane in (("zdb", vs.data[0]), ("zdr", vs.data[1])):
+            vals = plane[1:, covered]    # skip the always -inf/NaN bin 0
+            finite = vals[np.isfinite(vals)]
+            if finite.size:
+                info[f"{name}_min"] = round(float(finite.min()), 2)
+                info[f"{name}_max"] = round(float(finite.max()), 2)
+                info[f"{name}_mean"] = round(float(finite.mean()), 2)
     print(json.dumps(info))
     if args.export:
         np.savez(args.export, zdb=vs.data[0], zdr=vs.data[1],
@@ -348,7 +379,9 @@ def main(argv=None):
     p = sub.add_parser("process", help="single-shot file processing")
     _add_common(p)
     p.add_argument("--input", default="synthetic",
-                   help="'synthetic', raw wire .bin, or planar .npy")
+                   help="'synthetic', raw wire .bin, planar .npy, ASCII IQ "
+                        ".altb, or '-' for ASCII IQ on stdin (read.cc "
+                        "format)")
     p.add_argument("--output", default=None, help="99result-format output")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dump-stages", default=None, metavar="DIR",
@@ -387,6 +420,9 @@ def main(argv=None):
     p.add_argument("--max-sectors", type=int, default=None)
     p.add_argument("--idle-limit", type=int, default=None,
                    help="exit after N consecutive idle recv timeouts")
+    p.add_argument("--ready-file", default=None,
+                   help="touch this file once warmup compile is done and "
+                        "ingest is listening (harness readiness gate)")
     p.add_argument("--coordinator", default=None,
                    help="host:port of host 0 — enables lock-step "
                         "multi-host streaming over one global mesh")

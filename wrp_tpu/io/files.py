@@ -47,3 +47,27 @@ def read_result_file(path: str | Path):
 def read_be_float32_bin(path: str | Path) -> np.ndarray:
     """Raw big-endian float32 dump (out/cpu.bin; floats.c serialisation)."""
     return np.fromfile(path, dtype=">f4").astype(np.float32)
+
+
+def read_ascii_iq(stream, m: int, n: int, channels: int = 2) -> np.ndarray:
+    """Reference single-shot IQ input (read.cc:106-123): whitespace-
+    separated ASCII "<i> <q>" pairs, one full channel at a time (all hh,
+    then all vv), row-major m x n per channel.  Returns complex128
+    [channels, m, n].  Any whitespace (spaces/newlines) separates tokens,
+    matching `cin >>` semantics."""
+    toks = np.array(stream.read().split(), np.float64)
+    want = channels * m * n * 2
+    if toks.size != want:
+        raise ValueError(
+            f"ASCII IQ stream: expected {want} numbers "
+            f"({channels} channels x {m} x {n} x 2), got {toks.size}")
+    pairs = toks.reshape(channels, m, n, 2)
+    return pairs[..., 0] + 1j * pairs[..., 1]
+
+
+def write_ascii_iq(stream, iq: np.ndarray) -> None:
+    """Inverse of read_ascii_iq, for replay/testing: one "<i> <q>" pair
+    per line, channel-major as read.cc consumes them."""
+    flat = np.asarray(iq).reshape(-1)
+    for v in flat:
+        stream.write(f"{v.real:g} {v.imag:g}\n")

@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from typing import Callable, Optional
 
 import numpy as np
@@ -45,6 +46,48 @@ class SectorTask:
     planar: np.ndarray          # [C, 2, m, n] float32
     sector: int
     elevation: int
+
+
+class _StallWatchdog:
+    """Surfaces a lock-step collective blocked on a silent peer.
+
+    A multi-host collective has no timeout: if one host never issues its
+    step (its ingest died or went idle past its recv timeout), every
+    other host blocks inside XLA with no error and no log line — the run
+    just looks hung.  This side-thread logs a clear diagnostic every
+    `interval` seconds for as long as the wrapped section blocks."""
+
+    def __init__(self, what: str, interval: Optional[float],
+                 on_warn: Optional[Callable] = None):
+        self.what = what
+        self.interval = interval
+        self.on_warn = on_warn
+        self._done = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def _watch(self, t0: float):
+        while not self._done.wait(self.interval):
+            log.warning(
+                "lock-step %s blocked for %.1fs — a peer host is likely "
+                "silent (its ingest idle or dead); this host is stuck in "
+                "the collective until the peer steps or the run is killed",
+                self.what, time.monotonic() - t0)
+            if self.on_warn is not None:
+                self.on_warn()
+
+    def __enter__(self):
+        if self.interval is not None and self.interval > 0:
+            self._thread = threading.Thread(
+                target=self._watch, args=(time.monotonic(),), daemon=True,
+                name="wrp-stall-watchdog")
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._thread is not None:
+            self._done.set()
+            self._thread.join(timeout=1)
+        return False
 
 
 class StreamingExecutor:
@@ -72,6 +115,8 @@ class StreamingExecutor:
         processor: Optional[Callable] = None,
         lockstep: bool = False,
         checkpoint_every_s: Optional[float] = 30.0,
+        stall_warning_s: Optional[float] = 10.0,
+        on_ready: Optional[Callable] = None,
     ):
         """idle_limit: stop after this many consecutive idle receive
         timeouts (None = listen forever, the service default).
@@ -88,7 +133,17 @@ class StreamingExecutor:
         attached, save it at most this often (atomic rename, volume.py)
         so a crash mid-volume loses at most this much work; <= 0 saves
         after every batch, None disables periodic saves (exit-time save
-        only, the round-1 behaviour)."""
+        only, the round-1 behaviour).
+
+        stall_warning_s: in lock-step mode, log a diagnostic when a
+        collective step blocks longer than this (a peer host is silent —
+        its ingest idle or dead — and every other host is stuck inside
+        the collective with no error surfacing; None disables).
+
+        on_ready: called once the warmup compile is done and the ingest
+        thread is listening — the point where it is safe to start a
+        producer without overflowing the receive buffer (test harnesses
+        gate on this instead of guessing compile time with a sleep)."""
         self.cfg = cfg
         self.transport = transport
         self.publish = publish
@@ -97,6 +152,9 @@ class StreamingExecutor:
         self.max_sectors = max_sectors
         self.idle_limit = idle_limit
         self.lockstep = lockstep
+        self.stall_warning_s = stall_warning_s
+        self.stall_warnings = 0
+        self.on_ready = on_ready
         self.volume = volume
         self.checkpoint_every_s = checkpoint_every_s
         self._last_checkpoint = 0.0
@@ -235,6 +293,8 @@ class StreamingExecutor:
         if item is None:
             return None
         tasks.append(item)
+        starved_s = 0.0
+        next_starve_warn = self.stall_warning_s or float("inf")
         while len(tasks) < self.batch:
             if self.lockstep:
                 # full batches only (identical collective step counts on
@@ -245,6 +305,18 @@ class StreamingExecutor:
                     t = self._ingest_thread
                     if t is not None and not t.is_alive() and self._queue.empty():
                         break  # ingest gone + sentinel consumed elsewhere
+                    starved_s += 0.5
+                    if starved_s >= next_starve_warn:
+                        # the mirror image of _StallWatchdog: THIS host's
+                        # wire went quiet mid-batch, so the peers are (or
+                        # soon will be) blocked on our next collective step
+                        log.warning(
+                            "lock-step batch starving: %d/%d sectors after "
+                            "%.1fs of idle ingest — peer hosts are blocked "
+                            "on this host's next collective step",
+                            len(tasks), self.batch, starved_s)
+                        self.stall_warnings += 1
+                        next_starve_warn += self.stall_warning_s
                     continue
             else:
                 try:
@@ -278,7 +350,8 @@ class StreamingExecutor:
 
             with self.timers.time("compute/h2d_enqueue"):
                 planar = jax.device_put(planar, self._device)
-        with self.timers.time("compute/dispatch"):
+        with self.timers.time("compute/dispatch"), \
+                self._stall_watch("collective dispatch"):
             zdb, zdr = self.processor(planar)
         return tasks, zdb, zdr
 
@@ -287,7 +360,8 @@ class StreamingExecutor:
         finishes) and run the host-side epilogue: volume store, egress,
         throughput, periodic checkpoint."""
         tasks, zdb, zdr = pending
-        with self.timers.time("compute/fetch"):
+        with self.timers.time("compute/fetch"), \
+                self._stall_watch("result fetch"):
             zdb = np.asarray(zdb)[: len(tasks)]
             zdr = np.asarray(zdr)[: len(tasks)]
         if self.debug_sync:
@@ -310,14 +384,22 @@ class StreamingExecutor:
         """Synchronous dispatch + complete (debug_sync / tests)."""
         return self._complete_batch(self._dispatch_batch(tasks))
 
+    def _stall_watch(self, what: str) -> "_StallWatchdog":
+        """Watchdog armed only in lock-step mode: single-host dispatch
+        can't block on a peer."""
+        interval = self.stall_warning_s if self.lockstep else None
+
+        def _count():
+            self.stall_warnings += 1
+
+        return _StallWatchdog(what, interval, on_warn=_count)
+
     def _maybe_checkpoint(self):
         """Periodic crash-safe volume save (VolumeScan.save is an atomic
         write-temp + rename, so a kill mid-save never corrupts the file)."""
         if (self.volume is None or self.volume.path is None
                 or self.checkpoint_every_s is None):
             return
-        import time
-
         now = time.monotonic()
         if now - self._last_checkpoint >= self.checkpoint_every_s:
             with self.timers.time("checkpoint/save"):
@@ -355,6 +437,8 @@ class StreamingExecutor:
                                   name="wrp-ingest")
         self._ingest_thread = ingest
         ingest.start()
+        if self.on_ready is not None:
+            self.on_ready()
         processed = 0
         next_progress = 100
         # Two-deep software pipeline (the reference's stream cascade,
@@ -413,6 +497,7 @@ class StreamingExecutor:
         return {
             "processed_sectors": processed,
             "bad_headers": self.bad_headers,
+            "stall_warnings": self.stall_warnings,
             "checkpoints_written": self.checkpoints_written,
             "sectors_per_second": round(self.throughput.overall(), 2),
             "timers": self.timers.summary(),
