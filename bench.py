@@ -137,9 +137,8 @@ def main():
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
             # staging pre-permuted input matches the real ingest path.
-            a_np, tw_np, fac = FC.radix_plan_host(consts, radix)
+            a_np, fac = FC.radix_plan_host(consts, radix)
             a_radix = jax.device_put(a_np, dev)
-            tw_d = jax.device_put(tw_np, dev)
             host_iq = np.ascontiguousarray(
                 host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
             # restage: dev_iq above was put in natural row order, and the
@@ -150,7 +149,7 @@ def main():
 
             def power_at(x_all, off, salt):
                 return FC.fused_chain_power_radix(
-                    x_all, a_radix, tw_d, fac, wd_d, ph_d,
+                    x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bcn, salt=salt)
         else:
             a_split = jax.device_put(

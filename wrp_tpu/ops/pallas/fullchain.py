@@ -227,11 +227,19 @@ def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
 
 # ---------------------------------------------------------------------------
 # Radix-R variant: the range DFT decomposed DIT-style into R sub-DFTs of
-# length M = m/R plus a VPU twiddle-combine.  The half-spectrum crop keeps
+# length M = m/R plus a VPU combine.  The half-spectrum crop keeps
 # k < m/2 = S*M rows (S = R/2 output blocks).  MXU MACs drop by R/2 vs the
 # dense A matmul (the crop itself already banked the first factor of 2);
 # measured on v5e: direct 9.4k -> radix-4 13.5k -> radix-8 17.0k sectors/s
 # (radix-16's M=64 sub-matmuls fall off the MXU's efficient shape range).
+#
+# Two VPU economies on the combine (round 2):
+#   * the DIT twiddles diag(T_p) are folded into the A_p operators
+#     host-side (radix_plan_host) — zero runtime cost;
+#   * the cross-branch accumulation Y_s = sum_p om^(ps) g_p is an R-point
+#     DFT over p keeping S outputs, evaluated as pruned split-radix
+#     butterflies (_combine_radix8/_combine_radix4) instead of direct
+#     complex MACs — ~2x fewer vector block-ops.
 #
 # Input contract: range rows arrive PERMUTED to radix order
 # (row j=R*t+p stored at p*M+t, `radix_row_order`) — free at decode time
@@ -255,14 +263,32 @@ def radix_row_order(m: int, radix: int) -> np.ndarray:
     return np.concatenate([np.arange(p, m, radix) for p in range(radix)])
 
 
-def radix_plan_host(consts: PipelineConstants, radix: int):
+#: default A-operand layout for the radix kernel: "kcat" concatenates the
+#: hi/lo split planes along the contraction axis ([ah|ah|al], K=3M) so each
+#: Gauss product is ONE MXU dot with in-array accumulation instead of three
+#: dots plus two VPU f32 adds; "split" is the original [R, 6, M, M] layout.
+#: Both are golden-validated; the default is the faster measured on v5e.
+A_LAYOUT = "split"
+
+
+def radix_plan_host(consts: PipelineConstants, radix: int,
+                    layout: str = None):
     """Host constants for the radix kernel.
 
-    Returns (a_split [R, 6, M, M] bf16, twiddles [R, 2, M] f32,
-    fac [S][R] static complex combine factors).
-    """
+    Returns (a_ops, fac [S][R] static complex combine factors), with
+    a_ops either [R, 6, M, M] bf16 (layout="split": ar_hi, ar_lo, ai_hi,
+    ai_lo, as_hi, as_lo) or [R, 3, M, 3M] bf16 (layout="kcat": per Gauss
+    product the K-axis concatenation [a_hi | a_hi | a_lo], matching the
+    kernel's [x_hi; x_lo; x_hi] stacking — the 3-pass split product as a
+    single MXU dot).  The kernel dispatches on the array's shape.
+
+    The DIT twiddles T_p[q] = exp(-2i pi p q / m) are FOLDED into the
+    sub-operators host-side: diag(T_p) . (A_p @ x) ==
+    (diag(T_p) . A_p) @ x, so the kernel never multiplies twiddles at
+    runtime."""
     from ...constants import dft_matrix
 
+    layout = layout or A_LAYOUT
     mh, m = consts.op_a_half.shape
     M = m // radix
     S = (m // 2) // M
@@ -270,14 +296,17 @@ def radix_plan_host(consts: PipelineConstants, radix: int):
     wr_c = np.ascontiguousarray(consts.op_a_half[0]).astype(np.complex128)
     wr_c = wr_c.real  # row 0 of F is all ones -> A[0] = wr*c exactly
     FM = dft_matrix(M)
-    a_planes = [split_operator_host(FM * wr_c[p::radix][None, :])
-                for p in range(radix)]
     q = np.arange(M)
-    tw = np.stack([
-        np.stack([np.cos(2 * np.pi * p * q / m),
-                  -np.sin(2 * np.pi * p * q / m)])
-        for p in range(radix)
-    ]).astype(np.float32)
+    a_planes = []
+    for p in range(radix):
+        tp = np.exp(-2j * np.pi * p * q / m)          # DIT twiddle, folded
+        sp = split_operator_host((FM * wr_c[p::radix][None, :]) * tp[:, None])
+        if layout == "kcat":
+            sp = np.stack([
+                np.concatenate([sp[2 * g], sp[2 * g], sp[2 * g + 1]], axis=1)
+                for g in range(3)
+            ])
+        a_planes.append(sp)
     om = np.exp(-2j * np.pi * M / m)
 
     def snap(v: complex) -> complex:
@@ -287,15 +316,85 @@ def radix_plan_host(consts: PipelineConstants, radix: int):
         return complex(re, im)
 
     fac = [[snap(om ** (p * s)) for p in range(radix)] for s in range(S)]
-    return np.stack(a_planes), tw, fac
+    return np.stack(a_planes), fac
 
 
-def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
+def _combine_direct(fac, G):
+    """Generic half-spectrum combine: Y_s = sum_p fac[s][p] * g_p, with
+    the exact-4th-root factors short-cut (no multiply)."""
+    S = len(fac)
+    Yr = [None] * S
+    Yi = [None] * S
+    for p, (gr, gi) in enumerate(G):
+        for s in range(S):
+            fr, fi = fac[s][p].real, fac[s][p].imag
+            if fi == 0.0:
+                cr = gr if fr == 1.0 else (-gr if fr == -1.0 else fr * gr)
+                ci = gi if fr == 1.0 else (-gi if fr == -1.0 else fr * gi)
+            elif fr == 0.0:
+                cr = -fi * gi
+                ci = fi * gr
+            else:
+                cr = fr * gr - fi * gi
+                ci = fr * gi + fi * gr
+            Yr[s] = cr if Yr[s] is None else Yr[s] + cr
+            Yi[s] = ci if Yi[s] is None else Yi[s] + ci
+    return Yr, Yi
+
+
+def _combine_radix8(G):
+    """Pruned split-radix combine for R=8, S=4: an 8-point DFT over the
+    branch axis keeping only the first half of the outputs
+    (half-spectrum crop), factored DIF-style into real adds plus three
+    non-trivial twiddles — ~49 vector block-ops vs ~96 for the direct
+    fac accumulation.  Y_s = sum_p om^(p s) g_p, om = exp(-i pi/4):
+
+      even s=2r:  4-point DFT (outputs 0,1) of u_p = g_p + g_{p+4}
+      odd  s=2r+1: 4-point DFT (outputs 0,1) of v_p = om^p (g_p - g_{p+4})
+    """
+    c = float(np.sqrt(0.5))
+    (g0r, g0i), (g1r, g1i), (g2r, g2i), (g3r, g3i), \
+        (g4r, g4i), (g5r, g5i), (g6r, g6i), (g7r, g7i) = G
+    u0r, u0i = g0r + g4r, g0i + g4i
+    u1r, u1i = g1r + g5r, g1i + g5i
+    u2r, u2i = g2r + g6r, g2i + g6i
+    u3r, u3i = g3r + g7r, g3i + g7i
+    v0r, v0i = g0r - g4r, g0i - g4i
+    d1r, d1i = g1r - g5r, g1i - g5i
+    d2r, d2i = g2r - g6r, g2i - g6i
+    d3r, d3i = g3r - g7r, g3i - g7i
+    # v1 = om * d1, om = c(1 - i);  v2 = -i d2;  v3 = om^3 d3 = c(-1 - i) d3
+    v1r, v1i = c * (d1r + d1i), c * (d1i - d1r)
+    v2r, v2i = d2i, -d2r
+    v3r, v3i = c * (d3i - d3r), -c * (d3r + d3i)
+    # 4-point DFT (omega = -i), outputs 0 and 1
+    y0r = (u0r + u2r) + (u1r + u3r)
+    y0i = (u0i + u2i) + (u1i + u3i)
+    y2r = (u0r - u2r) + (u1i - u3i)
+    y2i = (u0i - u2i) - (u1r - u3r)
+    y1r = (v0r + v2r) + (v1r + v3r)
+    y1i = (v0i + v2i) + (v1i + v3i)
+    y3r = (v0r - v2r) + (v1i - v3i)
+    y3i = (v0i - v2i) - (v1r - v3r)
+    return [y0r, y1r, y2r, y3r], [y0i, y1i, y2i, y3i]
+
+
+def _combine_radix4(G):
+    """R=4, S=2 (omega = -i): Y0 = sum g_p; Y1 = (g0-g2) - i(g1-g3)."""
+    (g0r, g0i), (g1r, g1i), (g2r, g2i), (g3r, g3i) = G
+    y0r = (g0r + g2r) + (g1r + g3r)
+    y0i = (g0i + g2i) + (g1i + g3i)
+    y1r = (g0r - g2r) + (g1i - g3i)
+    y1i = (g0i - g2i) - (g1r - g3r)
+    return [y0r, y1r], [y0i, y1i]
+
+
+def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
                   pow_ref, salt=None):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
-    tw_ref: [R, 2, M] f32            fac: static [S][R] complex
+    (twiddles pre-folded into a_ref)  fac: static [S][R] complex
     salt:   optional traced f32 scalar added to every IQ sample — a DC
             offset the chain's mean subtraction removes almost entirely
             (the pulse window makes the cancellation inexact; residual is
@@ -310,11 +409,10 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
     def dot3(ah, al, bh, bl):
         return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
+    kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
-    S = len(fac)
-    Yr = [None] * S
-    Yi = [None] * S
+    G = []
     for p in range(radix):
         rows = slice(p * M, (p + 1) * M)
         xr = x_ref[0, 0, rows, :].astype(jnp.float32)
@@ -325,32 +423,24 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
         xrh, xrl = _split_bf16(xr)
         xih, xil = _split_bf16(xi)
         xsh, xsl = _split_bf16(xr + xi)
-        m1 = dot3(a_ref[p, 0], a_ref[p, 1], xrh, xrl)   # Ap_re @ x_re
-        m2 = dot3(a_ref[p, 2], a_ref[p, 3], xih, xil)   # Ap_im @ x_im
-        m3 = dot3(a_ref[p, 4], a_ref[p, 5], xsh, xsl)   # Ap_sum @ x_sum
-        er = m1 - m2
-        ei = m3 - m1 - m2
-        if p == 0:
-            gr, gi = er, ei       # T_0 = 1
+        if kcat:
+            # one K=3M MXU dot per Gauss product: [ah|ah|al]@[xh;xl;xh]
+            # accumulates the three split passes inside the MXU (no VPU
+            # f32 adds between passes)
+            m1 = dot(a_ref[p, 0], jnp.concatenate([xrh, xrl, xrh], axis=0))
+            m2 = dot(a_ref[p, 1], jnp.concatenate([xih, xil, xih], axis=0))
+            m3 = dot(a_ref[p, 2], jnp.concatenate([xsh, xsl, xsh], axis=0))
         else:
-            tr = tw_ref[p, 0][:, None]
-            ti = tw_ref[p, 1][:, None]
-            gr = tr * er - ti * ei
-            gi = tr * ei + ti * er
-        for s in range(S):
-            fr, fi = fac[s][p].real, fac[s][p].imag
-            # (fr + i fi) * g, with the pure-real/imag cases short-cut
-            if fi == 0.0:
-                cr = gr if fr == 1.0 else (-gr if fr == -1.0 else fr * gr)
-                ci = gi if fr == 1.0 else (-gi if fr == -1.0 else fr * gi)
-            elif fr == 0.0:
-                cr = -fi * gi
-                ci = fi * gr
-            else:
-                cr = fr * gr - fi * gi
-                ci = fr * gi + fi * gr
-            Yr[s] = cr if Yr[s] is None else Yr[s] + cr
-            Yi[s] = ci if Yi[s] is None else Yi[s] + ci
+            m1 = dot3(a_ref[p, 0], a_ref[p, 1], xrh, xrl)   # Ap_re @ x_re
+            m2 = dot3(a_ref[p, 2], a_ref[p, 3], xih, xil)   # Ap_im @ x_im
+            m3 = dot3(a_ref[p, 4], a_ref[p, 5], xsh, xsl)   # Ap_sum @ x_sum
+        G.append((m1 - m2, m3 - m1 - m2))               # g_p (twiddled)
+    if radix == 8 and len(fac) == 4:
+        Yr, Yi = _combine_radix8(G)
+    elif radix == 4 and len(fac) == 2:
+        Yr, Yi = _combine_radix4(G)
+    else:
+        Yr, Yi = _combine_direct(fac, G)
     yr = jnp.concatenate(Yr, axis=0)
     yi = jnp.concatenate(Yi, axis=0)
 
@@ -370,15 +460,15 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
     pow_ref[0, 0, :] = s_
 
 
-def _kernel_radix_offset(n, radix, fac, salted, s_ref, x_ref, a_ref, tw_ref,
+def _kernel_radix_offset(n, radix, fac, salted, s_ref, x_ref, a_ref,
                          wd_ref, ph_ref, pow_ref):
     salt = s_ref[1].astype(jnp.float32) if salted else None
-    _kernel_radix(n, radix, fac, x_ref, a_ref, tw_ref, wd_ref, ph_ref,
+    _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
                   pow_ref, salt=salt)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
-                            tw: jax.Array, fac, wd: jax.Array,
+                            fac, wd: jax.Array,
                             phasors: jax.Array,
                             interpret: bool = False,
                             offset=None, bc: int | None = None,
@@ -404,9 +494,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         in_specs = [
             pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((radix, 6, M, M), lambda b: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((radix, 2, M), lambda b: (0, 0, 0),
+            pl.BlockSpec(tuple(a_radix.shape), lambda b: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -422,7 +510,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(x_r, a_radix, tw, wd.reshape(1, n), phasors)[:, 0, :]
+        )(x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
     kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
                                salt is not None)
@@ -432,9 +520,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         in_specs=[
             pl.BlockSpec((1, 2, m, n), lambda b, s: (s[0] + b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((radix, 6, M, M), lambda b, s: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((radix, 2, M), lambda b, s: (0, 0, 0),
+            pl.BlockSpec(tuple(a_radix.shape), lambda b, s: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -452,7 +538,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.stack([jnp.asarray(offset, jnp.int32),
                  jnp.asarray(salt if salt is not None else 0, jnp.int32)]),
-      x_r, a_radix, tw, wd.reshape(1, n), phasors)[:, 0, :]
+      x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
 
 def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
@@ -470,9 +556,8 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
     radix = radix_for(m)
 
     if radix > 1:
-        a_np, tw_np, fac = radix_plan_host(consts, radix)
+        a_np, fac = radix_plan_host(consts, radix)
         a_radix = jnp.asarray(a_np)
-        tw = jnp.asarray(tw_np)
         order = jnp.asarray(radix_row_order(m, radix))
 
         def fn(iq_planar):
@@ -480,7 +565,7 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
             x = iq_planar.reshape(b * c, two, m_, n)
             if not pre_permuted:
                 x = jnp.take(x, order, axis=2)
-            p = fused_chain_power_radix(x, a_radix, tw, fac, wd, ph,
+            p = fused_chain_power_radix(x, a_radix, fac, wd, ph,
                                         interpret=interpret)
             return p.reshape(b, c, -1)
 
