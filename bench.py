@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--channels", type=int, default=3, choices=[2, 3],
                     help="2 compares against the reference's 2-channel "
                          "nocin baseline (73.5 sectors/s)")
+    ap.add_argument("--a-layout", default=None, choices=["split", "kcat"],
+                    help="radix-kernel A-operand layout (A/B harness; "
+                         "default = ops.pallas.fullchain.A_LAYOUT)")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -137,7 +140,8 @@ def main():
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
             # staging pre-permuted input matches the real ingest path.
-            a_np, fac = FC.radix_plan_host(consts, radix)
+            a_np, fac = FC.radix_plan_host(consts, radix,
+                                           layout=args.a_layout)
             a_radix = jax.device_put(a_np, dev)
             host_iq = np.ascontiguousarray(
                 host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
@@ -236,6 +240,7 @@ def main():
         "steps": steps,
         "method": args.method,
         "in_dtype": args.in_dtype,
+        "a_layout": args.a_layout,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

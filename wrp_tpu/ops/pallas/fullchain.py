@@ -267,8 +267,10 @@ def radix_row_order(m: int, radix: int) -> np.ndarray:
 #: hi/lo split planes along the contraction axis ([ah|ah|al], K=3M) so each
 #: Gauss product is ONE MXU dot with in-array accumulation instead of three
 #: dots plus two VPU f32 adds; "split" is the original [R, 6, M, M] layout.
-#: Both are golden-validated; the default is the faster measured on v5e.
-A_LAYOUT = "split"
+#: Both are golden-validated; the default is the faster measured on v5e
+#: (same-session salted A/B at batch 128: split 23 955, kcat 25 635
+#: sectors/s — the MXU-internal accumulation wins ~7%).
+A_LAYOUT = "kcat"
 
 
 def radix_plan_host(consts: PipelineConstants, radix: int,
