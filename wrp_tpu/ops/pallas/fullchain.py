@@ -414,17 +414,22 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
+    # whole-sector splits hoisted out of the branch loop: one big VPU
+    # block the scheduler can overlap with the first branches' MXU dots
+    xr_a = x_ref[0, 0, :, :].astype(jnp.float32)
+    xi_a = x_ref[0, 1, :, :].astype(jnp.float32)
+    if salt is not None:
+        xr_a = xr_a + salt
+        xi_a = xi_a + salt
+    xrh_a, xrl_a = _split_bf16(xr_a)
+    xih_a, xil_a = _split_bf16(xi_a)
+    xsh_a, xsl_a = _split_bf16(xr_a + xi_a)
     G = []
     for p in range(radix):
         rows = slice(p * M, (p + 1) * M)
-        xr = x_ref[0, 0, rows, :].astype(jnp.float32)
-        xi = x_ref[0, 1, rows, :].astype(jnp.float32)
-        if salt is not None:
-            xr = xr + salt
-            xi = xi + salt
-        xrh, xrl = _split_bf16(xr)
-        xih, xil = _split_bf16(xi)
-        xsh, xsl = _split_bf16(xr + xi)
+        xrh, xrl = xrh_a[rows], xrl_a[rows]
+        xih, xil = xih_a[rows], xil_a[rows]
+        xsh, xsl = xsh_a[rows], xsl_a[rows]
         if kcat:
             # one K=3M MXU dot per Gauss product: [ah|ah|al]@[xh;xl;xh]
             # accumulates the three split passes inside the MXU (no VPU
