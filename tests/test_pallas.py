@@ -78,3 +78,59 @@ def test_fused_chain_method_vs_oracle():
     zdb, zdr = np.asarray(zdb[0]), np.asarray(zdr[0])
     assert oracle.relative_l2(stages["09zdb"], zdb) < 2e-4
     assert oracle.relative_l2(stages["10zdr"], zdr) < 2e-4
+
+
+@pytest.mark.parametrize("layout", ["split", "kcat"])
+def test_radix_kernel_layouts_vs_oracle(layout):
+    """Both A-operand layouts of the radix kernel (split = six [M, M]
+    planes with three MXU passes per Gauss product; kcat = one K=3M dot
+    with in-MXU accumulation) must match the fp64 oracle.  The default
+    layout is whichever measured faster on hardware (fullchain.A_LAYOUT);
+    this pins the non-default one so an A/B flip can't rot."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = DEFAULT_CONFIG
+    consts = PipelineConstants.build(cfg)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=13)
+    pow64 = oracle.channel_power(iq, cfg)
+
+    radix = FC.radix_for(cfg.m)
+    assert radix == 8  # default geometry exercises the radix-8 butterflies
+    a_np, fac = FC.radix_plan_host(consts, radix, layout=layout)
+    order = FC.radix_row_order(cfg.m, radix)
+    planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    x = planar[:, :, order, :]          # rows in radix order, [C, 2, m, n]
+    got = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(x), jnp.asarray(a_np), fac,
+        jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+        interpret=True))
+    assert got.shape == (cfg.num_channels, cfg.m // 2)
+    for ch in range(cfg.num_channels):
+        assert oracle.relative_l2(pow64[ch], got[ch]) < 1e-5, (layout, ch)
+
+
+def test_radix_kernel_layouts_agree():
+    """split and kcat compute the same bf16-split arithmetic: outputs on
+    identical input must agree to float-add reassociation tolerance."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=128, n=64)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    rng = np.random.default_rng(5)
+    x = rng.integers(-8192, 8192, (2, 2, cfg.m, cfg.n)).astype(np.float32)
+    outs = {}
+    for layout in ("split", "kcat"):
+        a_np, fac = FC.radix_plan_host(consts, radix, layout=layout)
+        outs[layout] = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x), jnp.asarray(a_np), fac,
+            jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+            interpret=True))
+    err = oracle.relative_l2(outs["split"], outs["kcat"])
+    assert err < 1e-6, err
