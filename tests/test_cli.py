@@ -126,3 +126,41 @@ def test_ascii_iq_roundtrip_and_size_check(tmp_path):
     np.testing.assert_allclose(back, iq, rtol=1e-5)
     with pytest.raises(ValueError):
         read_ascii_iq(io.StringIO("1 2 3"), 4, 6, channels=2)
+
+
+def test_viz_render_ppi_and_ppm(tmp_path):
+    """PPI rendering of a volume cut: covered sectors colored, uncovered
+    and non-finite cells black, valid P6 output."""
+    from wrp_tpu import viz
+
+    bins, sectors = 32, 16
+    field = np.full((bins, sectors), np.nan, np.float32)
+    field[:, :8] = np.linspace(0, 60, bins)[:, None]   # half the disc covered
+    field[0, :] = -np.inf                              # range bin 0
+    img = viz.render_ppi(field, size=64)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # east half (covered sectors 0..7 span north->south clockwise) colored
+    assert img[32, 48].any()      # east: covered
+    assert not img[32, 8].any()   # west: uncovered -> black
+    assert not img[0, 0].any()    # corner outside the disc -> black
+    p = viz.write_ppm(tmp_path / "ppi.ppm", img)
+    raw = p.read_bytes()
+    assert raw.startswith(b"P6\n64 64\n255\n")
+    assert len(raw) == raw.index(b"255\n") + 4 + 64 * 64 * 3
+
+
+def test_cli_volume_render(tmp_path, capsys):
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = tiny_config(m=16, n=8)
+    vs = VolumeScan(cfg, tmp_path / "v.npz")
+    for s in range(cfg.num_sectors):
+        vs.store(s, 0, np.linspace(0, 50, 8).astype(np.float32),
+                 np.zeros(8, np.float32))
+    vs.save()
+    out = tmp_path / "ppi.ppm"
+    rc = cli.main(["volume", str(tmp_path / "v.npz"),
+                   "--render", str(out), "--product", "zdb"])
+    assert rc == 0
+    assert out.read_bytes().startswith(b"P6\n512 512\n255\n")

@@ -278,6 +278,16 @@ def cmd_volume(args):
         np.savez(args.export, zdb=vs.data[0], zdr=vs.data[1],
                  coverage=vs.coverage)
         print(f"exported -> {args.export}", file=sys.stderr)
+    if args.render:
+        from . import viz
+
+        plane = {"zdb": 0, "zdr": 1}[args.product]
+        field = np.array(vs.data[plane, :, :, args.elevation])
+        field[:, ~vs.coverage[:, args.elevation]] = np.nan  # uncovered
+        img = viz.render_ppi(field, size=args.render_size)
+        viz.write_ppm(args.render, img)
+        print(f"rendered {args.product} elevation {args.elevation} "
+              f"-> {args.render}", file=sys.stderr)
     return 0
 
 
@@ -433,6 +443,12 @@ def main(argv=None):
     p = sub.add_parser("volume", help="inspect/export a volume checkpoint")
     p.add_argument("checkpoint", help="volume .npz path")
     p.add_argument("--export", default=None, help="write plain .npz arrays")
+    p.add_argument("--render", default=None, metavar="OUT.ppm",
+                   help="render a PPI image of one elevation cut (binary "
+                        "PPM, no imaging deps)")
+    p.add_argument("--product", default="zdb", choices=["zdb", "zdr"])
+    p.add_argument("--elevation", type=int, default=0)
+    p.add_argument("--render-size", type=int, default=512)
     p.set_defaults(fn=cmd_volume)
 
     p = sub.add_parser("produce", help="replay sectors onto the wire")
