@@ -163,3 +163,30 @@ def test_tcp_oversized_and_short_frames_drop_connection(cfg):
     assert h.sector == 5 and bytes(buf) == sectors[0][1]
     p2.close()
     ingest.close()
+
+
+def test_tcp_ingest_stats_uniform(cfg):
+    """TCP carries the same IngestStats surface as UDP/ZMQ: sectors,
+    timeouts, and dropped frames are all visible."""
+    import socket as socket_mod
+    import struct
+
+    ingest = TcpIngest(cfg, port=0, timeout_s=0.1)
+    assert ingest.stats.sectors == 0
+    buf, _ = ingest.recv_sector()           # idle
+    assert buf is None and ingest.stats.timeouts == 1
+
+    raw = socket_mod.create_connection(("127.0.0.1", ingest.local_port))
+    raw.sendall(struct.pack(">I", 10) + b"x" * 10)   # short frame
+    ingest.recv_sector()
+    assert ingest.stats.dropped_sectors == 1
+    raw.close()
+
+    (iq, wire), = _wire_sectors(cfg, 1)
+    p = TcpProducer(cfg, port=ingest.local_port)
+    p.send_sector(wire, sector=1)
+    buf, h = ingest.recv_sector()
+    assert bytes(buf) == wire
+    assert ingest.stats.sectors == 1
+    p.close()
+    ingest.close()

@@ -113,6 +113,7 @@ class TcpIngest:
 
     def recv_sector(self):
         if self._conn is None and not self._accept():
+            self.stats.timeouts += 1   # idle wire: no producer connected
             return None, None
         expected = _ING.size + self.cfg.sector_nbytes_wire
         try:
