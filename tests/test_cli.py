@@ -164,3 +164,46 @@ def test_cli_volume_render(tmp_path, capsys):
                    "--render", str(out), "--product", "zdb"])
     assert rc == 0
     assert out.read_bytes().startswith(b"P6\n512 512\n255\n")
+
+
+def test_cli_consume_accumulates_volume(tmp_path, monkeypatch, capsys):
+    """consume --volume: received zdb+zdr frames become a renderable
+    volume checkpoint (the consumer as a display endpoint, not a print
+    stub).  Uses the UDP v1 wire over loopback."""
+    import socket
+    import threading
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.io import frames
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = DEFAULT_CONFIG
+    k = cfg.num_output_bins
+
+    def send():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for sec in (3, 7):
+            zdb = np.full(k, 30.0 + sec, np.float32)
+            zdr = np.full(k, 0.5, np.float32)
+            s.sendto(frames.pack_result_v1(sec, zdb),
+                     ("127.0.0.1", cfg.udp_zdb_port))
+            s.sendto(frames.pack_result_v1(sec, zdr),
+                     ("127.0.0.1", cfg.udp_zdr_port))
+        s.close()
+
+    t = threading.Timer(0.5, send)
+    t.start()
+    vol = tmp_path / "rx.npz"
+    rc = cli.main(["consume", "--transport", "udp", "--count", "2",
+                   "--timeout", "5", "--volume", str(vol)])
+    t.join()
+    assert rc == 0
+    vs = VolumeScan.load(vol)
+    assert vs.coverage[3, 0] and vs.coverage[7, 0]
+    assert int(vs.coverage.sum()) == 2
+    np.testing.assert_allclose(vs.data[0, :, 3, 0], 33.0)
+    np.testing.assert_allclose(vs.data[1, :, 7, 0], 0.5)
+    # and it renders
+    out = tmp_path / "rx.ppm"
+    assert cli.main(["volume", str(vol), "--render", str(out)]) == 0
+    assert out.read_bytes().startswith(b"P6\n")

@@ -328,48 +328,90 @@ def cmd_produce(args):
     return 0
 
 
+class _ResultAccumulator:
+    """Accumulates received result frames into a VolumeScan checkpoint —
+    the consumer as a real display endpoint instead of the reference's
+    print-only stub (receive.cpp); pair with `cli volume --render` for a
+    PPI image of what actually arrived over the wire."""
+
+    def __init__(self, cfg, path):
+        from .runtime import VolumeScan
+
+        self.vs = VolumeScan(cfg, path)
+        self._have: dict = {}
+
+    def add(self, product: int, sector: int, elevation: int, values) -> None:
+        cfg = self.vs.cfg
+        if not (0 <= sector < cfg.num_sectors
+                and 0 <= elevation < cfg.num_elevations):
+            return
+        vals = np.asarray(values, np.float32)
+        if vals.shape != (cfg.num_output_bins,):
+            return
+        self.vs.data[product, :, sector, elevation] = vals
+        seen = self._have.setdefault((sector, elevation), set())
+        seen.add(product)
+        if len(seen) == 2:   # covered once BOTH products arrived
+            self.vs.coverage[sector, elevation] = True
+
+    def save(self):
+        p = self.vs.save()
+        print(f"volume -> {p} (coverage {self.vs.fraction():.4f})",
+              file=sys.stderr)
+
+
 def cmd_consume(args):
     from .config import DEFAULT_CONFIG
 
     cfg = DEFAULT_CONFIG
+    acc = _ResultAccumulator(cfg, args.volume) if args.volume else None
     if args.transport == "udp":
+        import select
         import socket
 
         from .io import frames
 
-        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        sock.bind(("", args.port or cfg.udp_zdb_port))
-        sock.settimeout(args.timeout)
-        got = 0
-        while got < args.count:
-            try:
-                buf, _ = sock.recvfrom(65536)
-            except TimeoutError:
-                break
-            sector, values = frames.unpack_result_v1(buf)
-            print(f"sector {sector}: {values[:4]} ...")
-            got += 1
-    elif args.transport == "tcp":
-        from .io.tcp import TcpResultConsumer
+        def bind(port):
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            s.bind(("", port))
+            return s
 
-        consumer = TcpResultConsumer(cfg, port=args.port,
-                                     timeout_s=args.timeout)
+        # v1 wire: zdb and zdr ride separate ports; the zdr socket is
+        # only opened when accumulating (display counts zdb frames)
+        socks = {bind(args.port or cfg.udp_zdb_port): 0}
+        if acc is not None:
+            socks[bind(cfg.udp_zdr_port)] = 1
         got = 0
         while got < args.count:
-            item = consumer.recv()
-            if item is None:
+            ready, _, _ = select.select(list(socks), [], [], args.timeout)
+            if not ready:
                 break
-            topic, sector, elevation, values = item
-            print(f"{topic.decode()}: sector {sector} elev {elevation}: "
-                  f"{values[:4]} ...")
-            got += 1
-        consumer.close()
+            for s in ready:
+                buf, _ = s.recvfrom(65536)
+                sector, values = frames.unpack_result_v1(buf)
+                product = socks[s]
+                if product == 0:
+                    print(f"sector {sector}: {values[:4]} ...")
+                    got += 1
+                if acc is not None:
+                    # the v1 result frame carries no elevation
+                    # (read_single.cc:510-520): accumulate at cut 0
+                    acc.add(product, sector, 0, values)
+        for s in socks:
+            s.close()
     else:
-        from .io.zmq_io import ZmqResultConsumer
+        if args.transport == "tcp":
+            from .io.tcp import TcpResultConsumer
 
-        consumer = ZmqResultConsumer(
-            cfg, endpoint=args.zmq_sub, timeout_ms=int(args.timeout * 1e3))
+            consumer = TcpResultConsumer(cfg, port=args.port,
+                                         timeout_s=args.timeout)
+        else:
+            from .io.zmq_io import ZmqResultConsumer
+
+            consumer = ZmqResultConsumer(
+                cfg, endpoint=args.zmq_sub,
+                timeout_ms=int(args.timeout * 1e3))
         got = 0
         while got < args.count:
             item = consumer.recv()
@@ -379,6 +421,12 @@ def cmd_consume(args):
             print(f"{topic.decode()}: sector {sector} elev {elevation}: "
                   f"{values[:4]} ...")
             got += 1
+            if acc is not None:
+                acc.add(0 if topic == cfg.zmq_zdb_topic else 1,
+                        sector, elevation, values)
+        consumer.close()
+    if acc is not None:
+        acc.save()
     return 0
 
 
@@ -465,6 +513,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("consume", help="receive result frames")
+    p.add_argument("--volume", default=None, metavar="OUT.npz",
+                   help="accumulate received zdb/zdr frames into a volume "
+                        "checkpoint (then: cli volume OUT.npz --render)")
     p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--count", type=int, default=10)
     p.add_argument("--timeout", type=float, default=5.0)
