@@ -207,3 +207,43 @@ def test_cli_consume_accumulates_volume(tmp_path, monkeypatch, capsys):
     out = tmp_path / "rx.ppm"
     assert cli.main(["volume", str(vol), "--render", str(out)]) == 0
     assert out.read_bytes().startswith(b"P6\n")
+
+
+def test_cli_produce_replays_ascii_capture(tmp_path, monkeypatch, capsys):
+    """produce --input replays a read.cc-format capture onto the wire:
+    what arrives decodes back to the recorded hh/vv samples (vh zero)."""
+    import threading
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.io import codec
+    from wrp_tpu.io.files import write_ascii_iq
+    from wrp_tpu.io.udp import UdpIngest
+
+    cfg = DEFAULT_CONFIG
+    rng = np.random.default_rng(9)
+    iq2 = (rng.integers(-8192, 8192, (2, cfg.m, cfg.n))
+           + 1j * rng.integers(-8192, 8192, (2, cfg.m, cfg.n))).astype(
+        np.complex128)
+    cap = tmp_path / "cap.altb"
+    with open(cap, "w") as f:
+        write_ascii_iq(f, iq2)
+
+    ingest = UdpIngest(cfg, port=0, timeout_s=10.0)
+    result = {}
+
+    def rx():
+        wire, hdr = ingest.recv_sector()
+        result["planar"] = codec.decode_iq(bytes(wire), cfg)
+
+    t = threading.Thread(target=rx)
+    t.start()
+    rc = cli.main(["produce", "--transport", "udp", "--sectors", "1",
+                   "--ingest-port", str(ingest.local_port),
+                   "--input", str(cap)])
+    t.join(timeout=30)
+    ingest.close()
+    assert rc == 0 and "planar" in result
+    planar = result["planar"]          # [C, 2, m, n] float32
+    np.testing.assert_array_equal(planar[0, 0], iq2[0].real)
+    np.testing.assert_array_equal(planar[1, 1], iq2[1].imag)
+    assert not planar[2].any()         # vh padded with zeros

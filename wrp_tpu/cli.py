@@ -312,13 +312,28 @@ def cmd_produce(args):
         producer = ZmqProducer(cfg, endpoint=args.zmq_bind)
         time.sleep(args.connect_delay)  # PUB/SUB join grace
 
+    replay = None
+    if args.input:
+        # replay a reference-era ASCII IQ capture (read.cc stdin format)
+        # onto the wire: 2 recorded channels, vh padded with zeros (the
+        # reference's vh was never used in the products)
+        from .io.files import read_ascii_iq
+
+        with open(args.input) as f:
+            iq2 = read_ascii_iq(f, cfg.m, cfg.n, channels=2)
+        replay = np.zeros(cfg.sector_shape, np.complex128)
+        replay[:2] = iq2
+
     rng = np.random.default_rng(args.seed)
     sent = 0
     for k in range(args.sectors):
         sector = k % cfg.num_sectors
         elevation = (k // cfg.num_sectors) % cfg.num_elevations
-        iq = (rng.integers(-8192, 8192, cfg.sector_shape)
-              + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+        if replay is not None:
+            iq = replay
+        else:
+            iq = (rng.integers(-8192, 8192, cfg.sector_shape)
+                  + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
         wire = codec.encode_iq(iq, cfg)
         producer.send_sector(wire, sector, elevation)
         sent += 1
@@ -509,6 +524,9 @@ def main(argv=None):
     p.add_argument("--zmq-bind", default="tcp://*:5563")
     p.add_argument("--headers", action="store_true",
                    help="extended ingest headers (drop detection)")
+    p.add_argument("--input", default=None, metavar="IQ.altb",
+                   help="replay a captured ASCII IQ sector (read.cc "
+                        "format, 2 channels) instead of synthesising")
     p.add_argument("--connect-delay", type=float, default=0.5)
     p.set_defaults(fn=cmd_produce)
 
