@@ -144,3 +144,22 @@ def test_gpu_golden_agrees_with_cpu_golden(reference_dir):
     zdb_gpu, zdr_gpu = read_result_file(reference_dir + "/out/99result.gpu.out")
     assert oracle.relative_l2(zdb_cpu, zdb_gpu) < 1e-4
     assert oracle.relative_l2(zdr_cpu, zdr_gpu) < 1e-4
+
+
+def test_cpu_bin_zdb_capture_parses(reference_dir):
+    """out/cpu.bin is the reference's 127-sector binary zdb capture,
+    written native-endian by read_single.cc:129-130 (NOT the floats.c
+    big-endian wire path — reading it as >f4 yields 1e38 garbage).
+    Pin the parse: [127, 512], bin 0 -inf in every sector, and the
+    finite values inside a plausible reflectivity range."""
+    import os
+
+    from wrp_tpu.io.files import read_zdb_dump
+
+    path = os.path.join(reference_dir, "out", "cpu.bin")
+    z = read_zdb_dump(path)
+    assert z.shape == (127, 512)
+    assert np.isneginf(z[:, 0]).all()
+    fin = z[np.isfinite(z)]
+    assert fin.size / z.size > 0.99
+    assert -100 < fin.min() and fin.max() < 100

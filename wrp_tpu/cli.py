@@ -141,11 +141,13 @@ def cmd_compare(args):
     """The reference's accuracy comparator (error.cpp:9-36) as a CLI:
     relative L2 over mutually finite values of two result files."""
     from . import oracle
-    from .io.files import read_ascii_matrix, read_be_float32_bin
+    from .io.files import read_ascii_matrix, read_zdb_dump
 
     def load(path):
         if path.endswith(".bin"):
-            return read_be_float32_bin(path)
+            # the reference's only .bin asset (out/cpu.bin) is a
+            # native-endian zdb capture, NOT the BE wire serialisation
+            return read_zdb_dump(path)
         return read_ascii_matrix(path)
 
     expected, actual = load(args.expected), load(args.actual)

@@ -45,8 +45,22 @@ def read_result_file(path: str | Path):
 
 
 def read_be_float32_bin(path: str | Path) -> np.ndarray:
-    """Raw big-endian float32 dump (out/cpu.bin; floats.c serialisation)."""
+    """Raw big-endian float32 dump (the floats.c wire serialisation)."""
     return np.fromfile(path, dtype=">f4").astype(np.float32)
+
+
+def read_zdb_dump(path: str | Path, bins: int = 512) -> np.ndarray:
+    """The reference's binary zdb capture (out/cpu.bin): consecutive
+    sectors' zdb rows written with a NATIVE-endian fwrite
+    (read_single.cc:129-130 — `myFile.write((char*)&result[...])`; note
+    this is little-endian x86 output, NOT the floats.c big-endian wire
+    path).  Returns [sectors, bins] float32; bin 0 is -inf in every row
+    by construction."""
+    a = np.fromfile(path, dtype="<f4")
+    if a.size % bins:
+        raise ValueError(f"{path}: {a.size} floats is not a whole number "
+                         f"of {bins}-bin sectors")
+    return a.reshape(-1, bins).astype(np.float32)
 
 
 def read_ascii_iq(stream, m: int, n: int, channels: int = 2) -> np.ndarray:
