@@ -300,3 +300,38 @@ def test_full_udp_streaming_pipeline_pallas(cfg):
         assert oracle.relative_l2(zdb64, got[k][0]) < 1e-4
     ingest.close()
     producer.close()
+
+
+def test_sigterm_graceful_shutdown(tmp_path):
+    """SIGTERM (service-manager stop) must take the same graceful path
+    as Ctrl-C: finish in-flight work, save the volume checkpoint, print
+    the stats summary, exit 0."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    REPO = Path(__file__).resolve().parent.parent
+    ready = tmp_path / "ready"
+    ckpt = tmp_path / "vol.npz"
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "stream", "--transport",
+         "udp", "--ingest-port", "0", "--timeout", "0.5",
+         "--ready-file", str(ready), "--checkpoint", str(ckpt)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=env)
+    deadline = time.monotonic() + 120
+    while not ready.exists():
+        assert proc.poll() is None, proc.communicate()
+        assert time.monotonic() < deadline, "never became ready"
+        time.sleep(0.3)
+    proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=60)
+    assert proc.returncode == 0, (out[-500:], err[-2000:])
+    stats = json.loads(out)
+    assert "processed_sectors" in stats
+    assert ckpt.exists()          # checkpoint saved on the way out

@@ -195,10 +195,19 @@ def _open_volume(cfg, path):
 
 
 def cmd_stream(args):
+    import signal
+
     from .config import DEFAULT_CONFIG
     from .runtime import StreamingExecutor, VolumeScan, configure_logging
 
     configure_logging(args.log_level, args.structured_logs)
+    # Service managers stop daemons with SIGTERM; route it through the
+    # same graceful path as Ctrl-C (drain in-flight batch, save the
+    # volume checkpoint, print stats) instead of dying mid-batch.
+    def _sigterm(_signo, _frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     cfg = DEFAULT_CONFIG
     if args.transport == "udp":
         from .io.udp import UdpIngest, UdpEgress
