@@ -247,3 +247,34 @@ def test_cli_produce_replays_ascii_capture(tmp_path, monkeypatch, capsys):
     np.testing.assert_array_equal(planar[0, 0], iq2[0].real)
     np.testing.assert_array_equal(planar[1, 1], iq2[1].imag)
     assert not planar[2].any()         # vh padded with zeros
+
+
+def test_cli_consume_survives_runt_datagram(tmp_path):
+    """A malformed (runt) result datagram must be skipped, not crash the
+    consumer and lose the --volume accumulation."""
+    import socket
+    import threading
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.io import frames
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = DEFAULT_CONFIG
+    k = cfg.num_output_bins
+
+    def send():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(b"\x01", ("127.0.0.1", cfg.udp_zdb_port))      # runt
+        s.sendto(frames.pack_result_v1(2, np.full(k, 9.0, np.float32)),
+                 ("127.0.0.1", cfg.udp_zdb_port))
+        s.sendto(frames.pack_result_v1(2, np.full(k, 0.25, np.float32)),
+                 ("127.0.0.1", cfg.udp_zdr_port))
+        s.close()
+
+    threading.Timer(0.5, send).start()
+    vol = tmp_path / "rx.npz"
+    rc = cli.main(["consume", "--transport", "udp", "--count", "1",
+                   "--timeout", "5", "--volume", str(vol)])
+    assert rc == 0
+    vs = VolumeScan.load(vol)
+    assert vs.coverage[2, 0]

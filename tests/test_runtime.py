@@ -298,3 +298,77 @@ def test_lockstep_drain_starvation_warns():
     alive.set()
     assert len(tasks) == 1
     assert ex.stall_warnings >= 1
+
+
+def test_interrupt_mid_publish_no_double_publish():
+    """An interrupt landing inside batch completion must not re-publish
+    the batch from the except handler (at-most-once egress)."""
+    cfg = tiny_config(m=16, n=8)
+    c, m, n = cfg.sector_shape
+    published = []
+    raised = []
+
+    def publish(sector, elevation, zdb, zdr):
+        published.append(sector)
+        if sector == 1 and not raised:
+            raised.append(True)
+            raise KeyboardInterrupt
+
+    class TwoSectorTransport:
+        def __init__(self):
+            from wrp_tpu.io import codec
+
+            iq = np.zeros(cfg.sector_shape, np.complex128)
+            self.wire = codec.encode_iq(iq, cfg)
+            self.n = 0
+
+        def recv_sector(self):
+            self.n += 1
+            if self.n <= 2:
+                from wrp_tpu.io import frames
+
+                return self.wire, frames.IngestHeader(self.n - 1, 0, 0)
+            return None, None
+
+    ex = StreamingExecutor(cfg, transport=TwoSectorTransport(),
+                           publish=publish, batch=2, max_sectors=2,
+                           idle_limit=1,
+                           processor=lambda p: (
+                               np.zeros((p.shape[0], cfg.num_output_bins),
+                                        np.float32),
+                               np.zeros((p.shape[0], cfg.num_output_bins),
+                                        np.float32)))
+    ex.run()
+    # sector 0 published exactly once; sector 1's publish attempt raised —
+    # the old code re-ran the whole batch from the except handler,
+    # publishing sector 0 twice
+    assert published.count(0) == 1, published
+
+
+def test_lockstep_starvation_counter_resets_on_arrival():
+    """A slow-but-alive wire (items trickling in with sub-threshold gaps)
+    must NOT trigger the starvation diagnostic — it measures consecutive
+    idle time, not accumulated timeouts."""
+    import threading
+    import time
+
+    cfg = tiny_config(m=16, n=8)
+    ex = StreamingExecutor(cfg, batch=4, processor=lambda p: (p, p),
+                           lockstep=True, stall_warning_s=1.4)
+    alive = threading.Event()
+    t = threading.Thread(target=alive.wait, daemon=True)
+    t.start()
+    ex._ingest_thread = t
+    c, m, n = cfg.sector_shape
+
+    def feed():
+        for s in range(4):
+            ex._queue.put(SectorTask(np.zeros((c, 2, m, n), np.float32),
+                                     s, 0))
+            time.sleep(0.8)   # > one get timeout, < stall_warning_s
+
+    threading.Thread(target=feed, daemon=True).start()
+    tasks = ex._drain_batch()
+    alive.set()
+    assert len(tasks) == 4
+    assert ex.stall_warnings == 0

@@ -190,3 +190,30 @@ def test_tcp_ingest_stats_uniform(cfg):
     assert ingest.stats.sectors == 1
     p.close()
     ingest.close()
+
+
+def test_tcp_result_consumer_short_frame_survives(cfg):
+    """An undersized result frame (valid length header, < topic+v2 header
+    bytes) must drop the connection, not crash the consumer."""
+    import socket as socket_mod
+    import struct
+
+    from wrp_tpu.io.tcp import TcpResultConsumer
+
+    consumer = TcpResultConsumer(cfg, port=0, timeout_s=1.0)
+    raw = socket_mod.create_connection(("127.0.0.1", consumer.local_port))
+    raw.sendall(struct.pack(">I", 4) + b"\x00" * 4)   # too short for v2
+    assert consumer.recv() is None                     # dropped, no crash
+    raw.close()
+
+    # a fresh producer-side connection still works
+    from wrp_tpu.io import frames
+
+    raw2 = socket_mod.create_connection(("127.0.0.1", consumer.local_port))
+    body = b"B" + frames.pack_result_v2(
+        3, 1, np.arange(cfg.num_output_bins, dtype=np.float32))
+    raw2.sendall(struct.pack(">I", len(body)) + body)
+    topic, sector, elevation, values = consumer.recv()
+    assert (topic, sector, elevation) == (b"B", 3, 1)
+    raw2.close()
+    consumer.close()

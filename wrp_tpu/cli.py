@@ -190,6 +190,16 @@ def _open_volume(cfg, path):
         vs = VolumeScan.load(path, cfg)
         log.info("resuming volume scan from %s (%.1f%% covered)",
                  path, 100 * vs.fraction())
+        if 0 < vs.fraction() < 1:
+            # Bare v1 datagrams carry no sector/elevation: the executor's
+            # implicit counters restart at (0, 0) after a restart, so a
+            # headerless feed would RE-cover the start of the volume
+            # instead of filling the gap.  Extended headers (produce
+            # --headers) make resume position-exact.
+            log.warning(
+                "resume correctness depends on the wire carrying "
+                "sector/elevation (extended ingest headers); a bare v1 "
+                "feed restarts labeling at sector 0, elevation 0")
         return vs
     return VolumeScan(cfg, path)
 
@@ -394,6 +404,7 @@ def cmd_consume(args):
     if args.transport == "udp":
         import select
         import socket
+        import struct
 
         from .io import frames
 
@@ -407,7 +418,7 @@ def cmd_consume(args):
         # only opened when accumulating (display counts zdb frames)
         socks = {bind(args.port or cfg.udp_zdb_port): 0}
         if acc is not None:
-            socks[bind(cfg.udp_zdr_port)] = 1
+            socks[bind(args.zdr_port or cfg.udp_zdr_port)] = 1
         got = 0
         while got < args.count:
             ready, _, _ = select.select(list(socks), [], [], args.timeout)
@@ -415,7 +426,13 @@ def cmd_consume(args):
                 break
             for s in ready:
                 buf, _ = s.recvfrom(65536)
-                sector, values = frames.unpack_result_v1(buf)
+                try:
+                    sector, values = frames.unpack_result_v1(buf)
+                except (struct.error, ValueError):
+                    # a runt datagram must not kill the consumer (and
+                    # with --volume, lose everything accumulated so far)
+                    print("dropped malformed result frame", file=sys.stderr)
+                    continue
                 product = socks[s]
                 if product == 0:
                     print(f"sector {sector}: {values[:4]} ...")
@@ -549,6 +566,9 @@ def main(argv=None):
     p.add_argument("--count", type=int, default=10)
     p.add_argument("--timeout", type=float, default=5.0)
     p.add_argument("--port", type=int, default=None)
+    p.add_argument("--zdr-port", type=int, default=None,
+                   help="udp --volume: zdr result port (defaults to the "
+                        "config port; set alongside a custom --port)")
     p.add_argument("--zmq-sub", default="tcp://localhost:5564")
     p.set_defaults(fn=cmd_consume)
 

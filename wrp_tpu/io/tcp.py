@@ -258,6 +258,10 @@ class TcpResultConsumer:
             self._conn.close()
             self._conn = None
             return None
+        if len(msg) < 1 + 4:   # topic byte + v2 header: undersized frames
+            self._conn.close()  # are as corrupt as oversized ones — drop
+            self._conn = None   # the connection, don't crash the consumer
+            return None
         sector, elevation, values = frames.unpack_result_v2(msg[1:])
         return msg[:1], sector, elevation, values
 

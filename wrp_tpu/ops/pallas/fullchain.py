@@ -291,6 +291,8 @@ def radix_plan_host(consts: PipelineConstants, radix: int,
     from ...constants import dft_matrix
 
     layout = layout or A_LAYOUT
+    if layout not in ("split", "kcat"):
+        raise ValueError(f"unknown A layout {layout!r}: use 'split' or 'kcat'")
     mh, m = consts.op_a_half.shape
     M = m // radix
     S = (m // 2) // M

@@ -301,6 +301,11 @@ class StreamingExecutor:
                 # every host); keep waiting unless ingest is provably done
                 try:
                     item = self._queue.get(timeout=0.5)
+                    # an arrival proves the wire is alive: the starvation
+                    # diagnostic is about CONSECUTIVE idle time, not the
+                    # accumulated timeouts of a merely-slow stream
+                    starved_s = 0.0
+                    next_starve_warn = self.stall_warning_s or float("inf")
                 except queue.Empty:
                     t = self._ingest_thread
                     if t is not None and not t.is_alive() and self._queue.empty():
@@ -448,25 +453,36 @@ class StreamingExecutor:
         # D2H fetch issued.  debug_sync degrades to fully synchronous
         # batches (rpv2's sync-everything mode).
         pending = None
+
+        def complete_pending():
+            # Clear `pending` BEFORE completing it: an interrupt (Ctrl-C /
+            # SIGTERM) landing mid-completion must not let the except
+            # handler publish the same batch a second time — at-most-once
+            # beats duplicate result frames on the wire (the volume store
+            # is idempotent, egress is not).
+            nonlocal pending, processed
+            p, pending = pending, None
+            processed += self._complete_batch(p)
+
         try:
             while True:
-                if pending is not None and self._queue.empty():
-                    # idle ingest: don't sit on finished results (the
+                if pending is not None and self._queue.qsize() < self.batch:
+                    # ingest can't fill a whole batch right now: don't sit
+                    # on finished results while (possibly) waiting — the
                     # fetch is the only remaining step; compute is already
-                    # in flight) — publish latency stays bounded even when
-                    # the producer pauses mid-stream
-                    processed += self._complete_batch(pending)
-                    pending = None
+                    # in flight.  Publish latency stays bounded even when
+                    # the producer pauses mid-stream, including lockstep
+                    # mode's full-batch wait.
+                    complete_pending()
                 tasks = self._drain_batch()
                 if tasks is None:
                     break
                 nxt = self._dispatch_batch(tasks)
                 if pending is not None:
-                    processed += self._complete_batch(pending)
+                    complete_pending()
                 pending = nxt
                 if self.debug_sync:
-                    processed += self._complete_batch(pending)
-                    pending = None
+                    complete_pending()
                 if processed >= next_progress:
                     # the reference's sector-id progress prints
                     # (gpu_1fp_streamcasc.cu:658), rate-limited; the
@@ -476,13 +492,12 @@ class StreamingExecutor:
                     while processed >= next_progress:
                         next_progress += 100
             if pending is not None:
-                processed += self._complete_batch(pending)
-                pending = None
+                complete_pending()
         except KeyboardInterrupt:
             log.info("interrupted after %d sectors, shutting down",
                      processed)
             if pending is not None:
-                processed += self._complete_batch(pending)
+                complete_pending()
         finally:
             self._stop.set()
             ingest.join(timeout=5)
