@@ -278,3 +278,43 @@ def test_cli_consume_survives_runt_datagram(tmp_path):
     assert rc == 0
     vs = VolumeScan.load(vol)
     assert vs.coverage[2, 0]
+
+
+def test_cli_consume_accumulates_volume_zmq(tmp_path):
+    """consume --volume over the v2 ZMQ wire: topic-B/C frames carry
+    sector AND elevation, so accumulation lands on the right cut."""
+    pytest.importorskip("zmq")
+    import socket
+    import threading
+    import time
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.io.zmq_io import ZmqEgress
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = DEFAULT_CONFIG
+    k = cfg.num_output_bins
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    egress = ZmqEgress(cfg, endpoint=f"tcp://127.0.0.1:{port}")
+
+    def send():
+        time.sleep(0.8)  # PUB/SUB join
+        egress.send(5, 3, np.full(k, 40.0, np.float32),
+                    np.full(k, 1.5, np.float32))
+
+    threading.Thread(target=send, daemon=True).start()
+    vol = tmp_path / "rxz.npz"
+    rc = cli.main(["consume", "--transport", "zmq", "--count", "2",
+                   "--timeout", "6", "--volume", str(vol),
+                   "--zmq-sub", f"tcp://127.0.0.1:{port}"])
+    egress.close()
+    assert rc == 0
+    vs = VolumeScan.load(vol)
+    assert vs.coverage[5, 3]
+    np.testing.assert_allclose(vs.data[0, :, 5, 3], 40.0)
+    np.testing.assert_allclose(vs.data[1, :, 5, 3], 1.5)
