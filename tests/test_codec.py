@@ -162,3 +162,35 @@ def test_two_channel_config_codec_roundtrip():
     planar = codec.decode_iq(wire, cfg)
     np.testing.assert_array_equal(codec.to_complex(planar),
                                   iq.astype(np.complex64))
+
+
+def test_wire_parsers_fuzz_clean_failures():
+    """Network-facing parsers must fail with clean, expected exceptions
+    (or succeed) on arbitrary bytes — never segfault, hang, or raise
+    surprise types.  A tiny bounded fuzz over sizes near the parsers'
+    thresholds."""
+    import struct
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec, frames
+
+    cfg = tiny_config(m=16, n=8)
+    rng = np.random.default_rng(0)
+    ok_types = (ValueError, struct.error)
+    sizes = [0, 1, 2, 3, 5, 7, 8, 15, 16, 17, 63, 64, 100,
+             cfg.sector_nbytes_wire - 1, cfg.sector_nbytes_wire,
+             cfg.sector_nbytes_wire + 3]
+    for size in sizes:
+        for trial in range(3):
+            buf = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            for parse in (
+                lambda b: codec.decode_iq(b, cfg),
+                lambda b: codec.decode_iq_i16(b, cfg),
+                frames.unpack_result_v1,
+                frames.unpack_result_v2,
+                frames.try_unpack_ingest_row,
+            ):
+                try:
+                    parse(buf)
+                except ok_types:
+                    pass

@@ -51,7 +51,12 @@ def decode_iq(wire, m: int, n: int, ch: int,
     if out is None:
         out = np.empty((ch, 2, m, n), np.float32)
     src = _as_u8(wire)
-    assert src.size >= m * n * ch * 4, (src.size, m * n * ch * 4)
+    # a hard check, not an assert: a short network buffer reaching the
+    # native decoder would be an out-of-bounds READ, and asserts vanish
+    # under python -O
+    if src.size < m * n * ch * 4:
+        raise ValueError(
+            f"wire buffer too short: {src.size} < {m * n * ch * 4}")
     _lib.wrp_decode_iq(src.ctypes.data, out.ctypes.data, m, n, ch,
                        num_threads)
     return out
@@ -66,7 +71,9 @@ def decode_iq_i16(wire, m: int, n: int, ch: int,
     if out is None:
         out = np.empty((ch, 2, m, n), np.int16)
     src = _as_u8(wire)
-    assert src.size >= m * n * ch * 4, (src.size, m * n * ch * 4)
+    if src.size < m * n * ch * 4:   # see decode_iq: OOB-read guard
+        raise ValueError(
+            f"wire buffer too short: {src.size} < {m * n * ch * 4}")
     _lib.wrp_decode_iq_i16(src.ctypes.data, out.ctypes.data, m, n, ch,
                            num_threads, radix)
     return out
