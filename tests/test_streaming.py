@@ -335,3 +335,58 @@ def test_sigterm_graceful_shutdown(tmp_path):
     stats = json.loads(out)
     assert "processed_sectors" in stats
     assert ckpt.exists()          # checkpoint saved on the way out
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_udp_reassembly_fuzz(cfg, native):
+    """Randomized datagram streams against the reassembly state machine:
+    interleaved valid rows, duplicates, corrupt headers, runt payloads,
+    out-of-order rows, and sector-boundary jumps.  Invariants: the only
+    exception is TimeoutError, completed sectors return exactly
+    sector_nbytes_wire bytes, and the stats counters stay consistent."""
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.15, native=native)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    addr = ("127.0.0.1", ingest.local_port)
+    rng = np.random.default_rng(7 + native)
+    rb = cfg.datagram_nbytes
+    m = cfg.num_range_cells
+    (_, wire), = _wire_sectors(cfg, 1)
+
+    completed = 0
+    for _ in range(30):
+        kind = rng.integers(0, 5)
+        if kind == 0:        # a full valid sector, rows in order
+            for row in range(m):
+                sock.sendto(frames.pack_ingest_row(
+                    frames.IngestHeader(int(rng.integers(0, cfg.num_sectors)),
+                                        0, row),
+                    wire[row * rb:(row + 1) * rb]), addr)
+        elif kind == 1:      # duplicates of a few rows
+            for row in [0, 0, 1, 1]:
+                sock.sendto(frames.pack_ingest_row(
+                    frames.IngestHeader(1, 0, row),
+                    wire[row * rb:(row + 1) * rb]), addr)
+        elif kind == 2:      # corrupt header garbage
+            sock.sendto(rng.integers(0, 256, 32, dtype=np.uint8).tobytes(),
+                        addr)
+        elif kind == 3:      # runt payload with a valid-looking header
+            sock.sendto(frames.pack_ingest_row(
+                frames.IngestHeader(2, 1, 3), b"xy"), addr)
+        else:                # out-of-range row index
+            sock.sendto(frames.pack_ingest_row(
+                frames.IngestHeader(3, 2, m + 7), wire[:rb]), addr)
+        try:
+            got = ingest.recv_sector()
+        except TimeoutError:
+            continue
+        buf, header = got if isinstance(got, tuple) else (got, None)
+        if buf is not None:
+            assert len(bytes(buf)) == cfg.sector_nbytes_wire
+            completed += 1
+    st = ingest.stats
+    assert st.sectors == completed or st.sectors >= completed
+    assert min(st.sectors, st.datagrams, st.dropped_datagrams,
+               st.duplicate_datagrams, st.dropped_sectors,
+               st.timeouts) >= 0
+    ingest.close()
+    sock.close()
