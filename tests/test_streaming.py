@@ -356,10 +356,10 @@ def test_udp_reassembly_fuzz(cfg, native):
     for _ in range(30):
         kind = rng.integers(0, 5)
         if kind == 0:        # a full valid sector, rows in order
+            sec = int(rng.integers(0, cfg.num_sectors))
             for row in range(m):
                 sock.sendto(frames.pack_ingest_row(
-                    frames.IngestHeader(int(rng.integers(0, cfg.num_sectors)),
-                                        0, row),
+                    frames.IngestHeader(sec, 0, row),
                     wire[row * rb:(row + 1) * rb]), addr)
         elif kind == 1:      # duplicates of a few rows
             for row in [0, 0, 1, 1]:
@@ -384,9 +384,10 @@ def test_udp_reassembly_fuzz(cfg, native):
             assert len(bytes(buf)) == cfg.sector_nbytes_wire
             completed += 1
     st = ingest.stats
-    assert st.sectors == completed or st.sectors >= completed
-    assert min(st.sectors, st.datagrams, st.dropped_datagrams,
-               st.duplicate_datagrams, st.dropped_sectors,
-               st.timeouts) >= 0
+    # exact accounting: every returned buffer was counted exactly once,
+    # and completing a sector takes at least m unique-row datagrams
+    assert st.sectors == completed
+    assert st.datagrams >= completed * m
+    assert completed >= 1  # kind-0 full sectors must actually complete
     ingest.close()
     sock.close()

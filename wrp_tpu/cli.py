@@ -333,29 +333,32 @@ def cmd_produce(args):
         producer = ZmqProducer(cfg, endpoint=args.zmq_bind)
         time.sleep(args.connect_delay)  # PUB/SUB join grace
 
-    replay = None
+    replay_wire = None
     if args.input:
         # replay a reference-era ASCII IQ capture (read.cc stdin format)
         # onto the wire: 2 recorded channels, vh padded with zeros (the
-        # reference's vh was never used in the products)
+        # reference's vh was never used in the products).  Encoded ONCE —
+        # the constant sector re-encoding would otherwise cap the replay
+        # rate at host codec speed.
         from .io.files import read_ascii_iq
 
         with open(args.input) as f:
             iq2 = read_ascii_iq(f, cfg.m, cfg.n, channels=2)
         replay = np.zeros(cfg.sector_shape, np.complex128)
         replay[:2] = iq2
+        replay_wire = codec.encode_iq(replay, cfg)
 
     rng = np.random.default_rng(args.seed)
     sent = 0
     for k in range(args.sectors):
         sector = k % cfg.num_sectors
         elevation = (k // cfg.num_sectors) % cfg.num_elevations
-        if replay is not None:
-            iq = replay
+        if replay_wire is not None:
+            wire = replay_wire
         else:
             iq = (rng.integers(-8192, 8192, cfg.sector_shape)
                   + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
-        wire = codec.encode_iq(iq, cfg)
+            wire = codec.encode_iq(iq, cfg)
         producer.send_sector(wire, sector, elevation)
         sent += 1
         if args.rate:
@@ -419,11 +422,11 @@ def cmd_consume(args):
         socks = {bind(args.port or cfg.udp_zdb_port): 0}
         if acc is not None:
             socks[bind(args.zdr_port or cfg.udp_zdr_port)] = 1
-        got = 0
-        while got < args.count:
-            ready, _, _ = select.select(list(socks), [], [], args.timeout)
-            if not ready:
-                break
+
+        def drain_ready(wait_s):
+            """One select slice; returns the number of zdb frames seen."""
+            zdbs = 0
+            ready, _, _ = select.select(list(socks), [], [], wait_s)
             for s in ready:
                 buf, _ = s.recvfrom(65536)
                 try:
@@ -436,11 +439,27 @@ def cmd_consume(args):
                 product = socks[s]
                 if product == 0:
                     print(f"sector {sector}: {values[:4]} ...")
-                    got += 1
+                    zdbs += 1
                 if acc is not None:
                     # the v1 result frame carries no elevation
                     # (read_single.cc:510-520): accumulate at cut 0
                     acc.add(product, sector, 0, values)
+            return zdbs
+
+        got = 0
+        # rolling deadline on zdb PROGRESS (not mere traffic): zdr-only
+        # or foreign datagrams must not keep an idle consumer alive
+        deadline = time.monotonic() + args.timeout
+        while got < args.count and time.monotonic() < deadline:
+            n = drain_ready(0.25)
+            if n:
+                got += n
+                deadline = time.monotonic() + args.timeout
+        if acc is not None:
+            # grace drain: the final sector's zdr frame may trail its zdb
+            end = time.monotonic() + 0.5
+            while time.monotonic() < end:
+                drain_ready(0.1)
         for s in socks:
             s.close()
     else:

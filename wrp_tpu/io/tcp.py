@@ -258,11 +258,14 @@ class TcpResultConsumer:
             self._conn.close()
             self._conn = None
             return None
-        if len(msg) < 1 + 4:   # topic byte + v2 header: undersized frames
-            self._conn.close()  # are as corrupt as oversized ones — drop
-            self._conn = None   # the connection, don't crash the consumer
+        try:
+            # undersized or misaligned frames are as corrupt as oversized
+            # ones — drop the connection, don't crash the consumer
+            sector, elevation, values = frames.unpack_result_v2(msg[1:])
+        except (struct.error, ValueError, IndexError):
+            self._conn.close()
+            self._conn = None
             return None
-        sector, elevation, values = frames.unpack_result_v2(msg[1:])
         return msg[:1], sector, elevation, values
 
     def close(self):

@@ -134,12 +134,20 @@ class ZmqResultConsumer:
         self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
 
     def recv(self) -> Optional[Tuple[bytes, int, int, np.ndarray]]:
-        """(topic, sector, elevation, values) or None on timeout."""
+        """(topic, sector, elevation, values) or None on timeout or a
+        malformed frame (same hardening as the UDP/TCP consumers: a
+        corrupt publisher must not crash the consumer)."""
+        import struct
+
         try:
-            topic, body = self.sock.recv_multipart()
+            parts = self.sock.recv_multipart()
         except zmq.Again:
             return None
-        sector, elevation, values = frames.unpack_result_v2(body)
+        try:
+            topic, body = parts
+            sector, elevation, values = frames.unpack_result_v2(body)
+        except (struct.error, ValueError):
+            return None
         return topic, sector, elevation, values
 
     def close(self):

@@ -454,33 +454,39 @@ class StreamingExecutor:
         # batches (rpv2's sync-everything mode).
         pending = None
 
-        def complete_pending():
-            # Clear `pending` BEFORE completing it: an interrupt (Ctrl-C /
-            # SIGTERM) landing mid-completion must not let the except
-            # handler publish the same batch a second time — at-most-once
-            # beats duplicate result frames on the wire (the volume store
-            # is idempotent, egress is not).
+        def complete_pending(replace=None):
+            # Swap `pending` out BEFORE completing it: an interrupt
+            # (Ctrl-C / SIGTERM) landing mid-completion must neither let
+            # the except handler publish the same batch twice
+            # (at-most-once egress) nor orphan a just-dispatched batch —
+            # `replace` installs the successor in the same statement, so
+            # the interrupt window where it is owned by neither variable
+            # is a single bytecode, not the whole D2H fetch.
             nonlocal pending, processed
-            p, pending = pending, None
-            processed += self._complete_batch(p)
+            p, pending = pending, replace
+            if p is not None:
+                processed += self._complete_batch(p)
 
         try:
             while True:
-                if pending is not None and self._queue.qsize() < self.batch:
-                    # ingest can't fill a whole batch right now: don't sit
+                can_fill = (self._queue.qsize() >= self.batch
+                            if self.lockstep else not self._queue.empty())
+                if pending is not None and not can_fill:
+                    # ingest can't progress a batch right now: don't sit
                     # on finished results while (possibly) waiting — the
                     # fetch is the only remaining step; compute is already
                     # in flight.  Publish latency stays bounded even when
                     # the producer pauses mid-stream, including lockstep
-                    # mode's full-batch wait.
+                    # mode's full-batch wait.  (Non-lockstep keeps the
+                    # empty() test: a partially filled queue still yields
+                    # a batch immediately, and eagerly fetching here would
+                    # serialise the fetch in front of the next dispatch.)
                     complete_pending()
                 tasks = self._drain_batch()
                 if tasks is None:
                     break
                 nxt = self._dispatch_batch(tasks)
-                if pending is not None:
-                    complete_pending()
-                pending = nxt
+                complete_pending(replace=nxt)
                 if self.debug_sync:
                     complete_pending()
                 if processed >= next_progress:
