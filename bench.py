@@ -137,7 +137,7 @@ def main():
         ph_d = jax.device_put(consts.clip_phasors, dev)
         gain_d = jax.device_put(consts.gain, dev)
         bcn = args.batch * c
-        interp = jax.default_backend() != "tpu"
+        interp = FC.use_interpret()
         radix = FC.radix_for(m)
         if radix > 1:
             # radix kernel wants rows in radix order: the decode step

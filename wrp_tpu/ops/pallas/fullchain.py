@@ -46,6 +46,14 @@ from ...constants import PipelineConstants
 _CHUNKS = 8
 
 
+def use_interpret() -> bool:
+    """True when the Pallas kernels must run in interpret mode (no Mosaic
+    backend).  The single source of truth for the backend check — pipeline,
+    sharded, and bench paths must all agree, or a drifted copy could
+    silently fall back to interpret mode on real hardware."""
+    return jax.default_backend() != "tpu"
+
+
 def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -158,10 +158,10 @@ def _build_pallas_sharded(cfg: RadarConfig, mesh: Mesh):
     and each device runs the full fused chain on its local sectors — zero
     collectives, perfect weak scaling.  B must divide by the total device
     count.  Off-TPU the kernel runs in interpret mode (tests/dryrun)."""
-    from ..ops.pallas.fullchain import build_pallas_processor
+    from ..ops.pallas.fullchain import build_pallas_processor, use_interpret
 
     consts = PipelineConstants.build(cfg)
-    interpret = jax.default_backend() != "tpu"
+    interpret = use_interpret()
     power_fn = build_pallas_processor(consts, interpret=interpret)
     gain = jnp.asarray(consts.gain)
 

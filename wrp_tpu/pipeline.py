@@ -498,10 +498,10 @@ class SectorProcessor:
         """Fused single-kernel chain (ops/pallas/fullchain.py): Gauss
         complex matmul + Parseval epilogue, all VMEM-resident.  Falls back
         to interpret mode off-TPU (tests)."""
-        from .ops.pallas.fullchain import build_pallas_processor
+        from .ops.pallas.fullchain import build_pallas_processor, use_interpret
 
         consts = PipelineConstants.build(cfg)
-        interpret = jax.default_backend() != "tpu"
+        interpret = use_interpret()
         power_fn = build_pallas_processor(consts, interpret=interpret,
                                           pre_permuted=pre_permuted)
         gain = jnp.asarray(consts.gain)

@@ -286,9 +286,11 @@ class StreamingExecutor:
             except queue.Empty:
                 # Defensive liveness check: if the ingest thread died and
                 # the queue stayed empty (its EOF sentinel should prevent
-                # this), don't block forever.
+                # this), don't block forever.  The queue.empty() guard
+                # matters: tasks (and the sentinel) enqueued just before
+                # ingest exit must still be drained, not dropped.
                 t = self._ingest_thread
-                if t is not None and not t.is_alive():
+                if t is not None and not t.is_alive() and self._queue.empty():
                     return None
         if item is None:
             return None
