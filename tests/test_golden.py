@@ -146,6 +146,78 @@ def test_gpu_golden_agrees_with_cpu_golden(reference_dir):
     assert oracle.relative_l2(zdr_cpu, zdr_gpu) < 1e-4
 
 
+def test_stage04_in_out_identity_and_gpu_agreement(reference_dir,
+                                                   golden_04abs):
+    """in/04abs.altb is the reference's stage-04 output re-used as the
+    stage-05 input: it must match out/04abs.cpu.out (same numbers, modulo
+    one ASCII %g round-trip), and the GPU dump must agree with the CPU
+    dump — the cpu-vs-gpu check the reference ran by eye for every staged
+    pair (SURVEY.md section 4.1).  Measured identity: both land at ~1e-33
+    relative L2, i.e. print-precision noise only."""
+    from wrp_tpu.io.files import read_ascii_matrix
+
+    a_cpu = read_ascii_matrix(reference_dir + "/out/04abs.cpu.out")
+    a_gpu = read_ascii_matrix(reference_dir + "/out/04abs.gpu.out")
+    assert a_cpu.shape == a_gpu.shape == golden_04abs.shape == (512, 512)
+    assert oracle.relative_l2(a_cpu, golden_04abs) < 1e-30
+    assert oracle.relative_l2(a_cpu, a_gpu) < 1e-30
+
+
+def test_stage08_in_out_identity_and_gpu_agreement(reference_dir,
+                                                   golden_08pow):
+    """in/08pow.altb, out/08pow.cpu.out and out/08pow.gpu.out are
+    byte-identical numeric content (the reference re-used its stage dump
+    as the next stage's input file verbatim) — pin all three so no usable
+    golden goes unconsumed."""
+    from wrp_tpu.io.files import read_ascii_matrix
+
+    p_in = read_ascii_matrix(reference_dir + "/in/08pow.altb")
+    p_gpu = read_ascii_matrix(reference_dir + "/out/08pow.gpu.out")
+    np.testing.assert_array_equal(p_in, golden_08pow)
+    np.testing.assert_array_equal(p_gpu, golden_08pow)
+
+
+def _read_sum_golden(path):
+    """Parse out/sum.out (examples/sum.cu): '(re,im)' tokens, an 'in:'
+    16x8 block then an 'out:' 16x8 block."""
+    blocks, cur = {}, None
+    for line in open(path):
+        line = line.strip()
+        if line.endswith(":"):
+            cur = blocks.setdefault(line[:-1], [])
+        elif line and cur is not None:
+            cur.append([complex(*map(float, tok[1:-1].split(",")))
+                        for tok in line.split()])
+    return (np.array(blocks["in"]), np.array(blocks["out"]))
+
+
+def test_sum_golden_reduction(reference_dir):
+    """out/sum.out is the reference's reduction micro-test golden
+    (examples/sum.cu: in-place tree reduction over each 8-wide row of a
+    16x8 ramp).  Pin (a) the input ramp, (b) column 0 of the output ==
+    the true row sums — the semantic contract our stage08 jnp.sum path
+    replaces the __sum_inplace kernels with — and (c) the full in-place
+    butterfly artifact pattern, emulated in numpy."""
+    import jax.numpy as jnp
+
+    data, out = _read_sum_golden(reference_dir + "/out/sum.out")
+    m, n = 16, 8
+    i, j = np.mgrid[0:m, 0:n]
+    np.testing.assert_array_equal(data, i + j)
+    # (b) the reduction semantics (what wrp_tpu relies on)
+    np.testing.assert_array_equal(out[:, 0].real, data.real.sum(axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(jnp.asarray(data.real), axis=1)), out[:, 0].real)
+    # (c) the exact in-place artifact (__sum_inplace zeroes imag parts)
+    emu = data.real.copy()
+    s = n // 2
+    while s:
+        emu[:, :s] += emu[:, s:2 * s]
+        s //= 2
+    np.testing.assert_array_equal(out.real, emu)
+    assert np.all(out.imag == 0)
+
+
 def test_cpu_bin_zdb_capture_parses(reference_dir):
     """out/cpu.bin is the reference's 127-sector binary zdb capture,
     written native-endian by read_single.cc:129-130 (NOT the floats.c
