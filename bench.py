@@ -49,11 +49,23 @@ def main():
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
                          "HBM input reads), f32 otherwise")
+    ap.add_argument("--sharded", type=int, default=0, metavar="N",
+                    help="run the flagship kernel under shard_map over an "
+                         "N-device mesh (batch data-parallel; the salted "
+                         "fori loop runs inside the shard_map body, so the "
+                         "timed path is the Mosaic-compiled kernel exactly "
+                         "as it lowers under a mesh — no interpret "
+                         "fallback).  N=1 on the real chip proves the "
+                         "compiled shard_map+pallas combination")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed pass "
                          "(the nvprof-equivalent; view with tensorboard)")
     args = ap.parse_args()
+    if args.sharded and args.method != "pallas":
+        sys.exit("--sharded measures the flagship kernel; use "
+                 "--method pallas (the mxu sharded path is covered by "
+                 "the parity check it runs)")
 
     import numpy as np
     import jax
@@ -133,9 +145,13 @@ def main():
         from wrp_tpu.pipeline import stage09_10_products
 
         consts = PipelineConstants.build(cfg)
-        wd_d = jax.device_put(consts.wd, dev)
-        ph_d = jax.device_put(consts.clip_phasors, dev)
-        gain_d = jax.device_put(consts.gain, dev)
+        # under --sharded the kernel constants must stay uncommitted
+        # (replicated by jit over the mesh), not pinned to one device
+        put = jnp.asarray if args.sharded else (
+            lambda x: jax.device_put(x, dev))
+        wd_d = put(consts.wd)
+        ph_d = put(consts.clip_phasors)
+        gain_d = put(consts.gain)
         bcn = args.batch * c
         interp = FC.use_interpret()
         radix = FC.radix_for(m)
@@ -145,7 +161,7 @@ def main():
             # staging pre-permuted input matches the real ingest path.
             a_np, fac = FC.radix_plan_host(consts, radix,
                                            layout=args.a_layout)
-            a_radix = jax.device_put(a_np, dev)
+            a_radix = put(a_np)
             host_iq = np.ascontiguousarray(
                 host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
             # restage: dev_iq above was put in natural row order, and the
@@ -159,8 +175,7 @@ def main():
                     x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bcn, salt=salt)
         else:
-            a_split = jax.device_put(
-                FC.split_operator_host(consts.op_a_half), dev)
+            a_split = put(FC.split_operator_host(consts.op_a_half))
 
             def power_at(x_all, off, salt):
                 del salt  # tiny fallback geometries: offsets suffice
@@ -182,6 +197,47 @@ def main():
 
             return lax.fori_loop(0, steps, one_step,
                                  jnp.zeros(cfg.num_output_bins))
+
+        if args.sharded:
+            # The flagship kernel under shard_map, COMPILED (VERDICT r2
+            # item 1): each device runs the full salted loop on its local
+            # slice of the staged slabs — zero collectives, and the
+            # pallas_call (incl. scalar-prefetch offsets) lowers through
+            # Mosaic inside the shard_map body, the configuration a pod
+            # would run (parallel/sharded._build_pallas_sharded).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from wrp_tpu.parallel.mesh import make_mesh, DATA_AXIS, SEQ_AXIS
+
+            if args.batch % args.sharded:
+                sys.exit(f"--batch {args.batch} must divide by "
+                         f"--sharded {args.sharded}")
+            mesh_b = make_mesh(data=args.sharded, seq=1)
+            baxes = (DATA_AXIS, SEQ_AXIS)
+            bcn_loc = (args.batch // args.sharded) * c
+
+            def _local_loop(iq_loc):
+                # iq_loc [D, B/N, C, 2, m, n]: this device's slice
+                x_all = iq_loc.reshape(args.distinct * bcn_loc, 2, m, n)
+
+                def one_step(i, carry):
+                    off = (i % args.distinct) * bcn_loc
+                    pw = power_at(x_all, off, i).reshape(-1, c, m // 2)
+                    zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1],
+                                                   gain_d)
+                    return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                        jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
+
+                acc = lax.fori_loop(0, steps, one_step,
+                                    jnp.zeros(cfg.num_output_bins))
+                return acc[None]
+
+            timed_passes = jax.jit(jax.shard_map(
+                _local_loop, mesh=mesh_b,
+                in_specs=P(None, baxes, None, None, None, None),
+                out_specs=P(baxes, None), check_vma=False))
+            dev_iq = jax.block_until_ready(jax.device_put(
+                host_iq, NamedSharding(
+                    mesh_b, P(None, baxes, None, None, None, None))))
     if proc is None:
         proc = SectorProcessor(cfg, method=args.method,
                                matched_filter=args.matched_filter,
@@ -236,9 +292,33 @@ def main():
         return float(np.linalg.norm(a[fin] - b[fin])
                      / max(np.linalg.norm(a[fin]), 1e-30))
 
-    zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
-    if args.method == "pallas":
+    sharded_parity = {}
+    if args.method == "pallas" and args.sharded:
+        # parity of the PRODUCTION sharded entries on this mesh: the
+        # pallas path (natural-order input, on-device radix permute) and
+        # the mxu/transpose path (all_to_all degenerate at seq=1 but the
+        # shard_map lowering still compiles), both vs the unsharded
+        # flagship processor.
+        from wrp_tpu.parallel.sharded import (build_sharded_processor,
+                                              shard_batch)
+
+        nat = rng.integers(-8192, 8192,
+                           (args.batch, c, 2, m, n)).astype(np.float32)
+        nat_p = nat
+        if args.method == "pallas" and FC.radix_for(m) > 1:
+            nat_p = nat[:, :, :, FC.radix_row_order(m, FC.radix_for(m)), :]
+        zdb_u = np.asarray(proc(nat_p)[0])
+        for meth in ("pallas", "mxu"):
+            sh_step, sh_in = build_sharded_processor(cfg, mesh_b,
+                                                     method=meth)
+            zdb_s = np.asarray(sh_step(shard_batch(nat, mesh_b, sh_in))[0])
+            sharded_parity[meth] = _rel(zdb_u, zdb_s)
+        err0 = sharded_parity["pallas"]
+        err1 = sharded_parity["mxu"]
+        thr0, thr1 = 1e-4, 1e-3
+    elif args.method == "pallas":
         x_flat = dev_iq.reshape(args.distinct * bcn, 2, m, n)
+        zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
 
         def _harness_zdb(salt):
             pw = power_at(x_flat, 0, salt).reshape(args.batch, c, -1)
@@ -247,12 +327,15 @@ def main():
 
         err0 = _rel(zdb_ref, _harness_zdb(0))
         err1 = _rel(zdb_ref, _harness_zdb(7))
+        thr0, thr1 = 1e-4, 1e-3
     else:
+        zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
         err0 = 0.0   # the harness calls proc itself; only the salt varies
         salted = proc(jax.device_put(host_iq[0], dev)
                       + jnp.float32(8.0) * inv_wd)
         err1 = _rel(zdb_ref, np.asarray(salted[0]))
-    if not (err0 < 1e-4 and err1 < 1e-3):
+        thr0, thr1 = 1e-4, 1e-3
+    if not (err0 < thr0 and err1 < thr1):
         print(json.dumps({"error": "salted-harness parity check failed",
                           "salt0_rel_l2": err0, "salted_rel_l2": err1}))
         sys.exit(1)
@@ -270,6 +353,8 @@ def main():
         runs.append(time.perf_counter() - t0)
     elapsed = min(runs)
     sectors_s = steps * args.batch / elapsed
+    if acc.ndim == 2:      # --sharded returns one accumulator per device
+        acc = acc.sum(axis=0)
     assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
 
     # --- streaming including fresh H2D (tunnel-dependent, secondary) ---
@@ -295,6 +380,9 @@ def main():
         "batch": args.batch,
         "steps": steps,
         "method": args.method,
+        "sharded_devices": args.sharded or None,
+        "sharded_parity_rel_l2": sharded_parity or None,
+        "parity_rel_l2": [round(err0, 9), round(err1, 9)],
         "in_dtype": args.in_dtype,
         "a_layout": args.a_layout,
         "matched_filter": args.matched_filter,

@@ -79,6 +79,23 @@ def test_result_frame_v2():
     np.testing.assert_array_equal(got, vals)
 
 
+def test_result_frame_v1x_roundtrip_and_v1_passthrough():
+    """v1x frames carry the elevation behind a magic whose high bit is
+    set, so unpack_result_udp can tell the flavours apart: sector ids are
+    small non-negative int16s and can never equal RESULT_MAGIC."""
+    vals = np.linspace(-50, 50, 512).astype(np.float32)
+    buf = frames.pack_result_v1x(17, 5, vals)
+    assert len(buf) == 6 + 512 * 4
+    sector, elev, got = frames.unpack_result_udp(buf)
+    assert (sector, elev) == (17, 5)
+    np.testing.assert_array_equal(got, vals)
+    # bare v1 frames report elevation None
+    sector, elev, got = frames.unpack_result_udp(frames.pack_result_v1(9, vals))
+    assert (sector, elev) == (9, None)
+    np.testing.assert_array_equal(got, vals)
+    assert frames.RESULT_MAGIC > 0x7FFF  # can't collide with a sector id
+
+
 def test_ingest_header_roundtrip_and_passthrough():
     payload = b"\x01\x02" * 16
     buf = frames.pack_ingest_row(frames.IngestHeader(5, 3, 999), payload)

@@ -225,7 +225,8 @@ def cmd_stream(args):
         transport = UdpIngest(cfg, port=args.ingest_port,
                               timeout_s=args.timeout)
         publish = UdpEgress(cfg, zdb_port=args.zdb_port,
-                            zdr_port=args.zdr_port)
+                            zdr_port=args.zdr_port,
+                            extended=args.extended_results)
     elif args.transport == "tcp":
         from .io.tcp import TcpIngest, TcpEgress
 
@@ -430,7 +431,7 @@ def cmd_consume(args):
             for s in ready:
                 buf, _ = s.recvfrom(65536)
                 try:
-                    sector, values = frames.unpack_result_v1(buf)
+                    sector, elev, values = frames.unpack_result_udp(buf)
                 except (struct.error, ValueError):
                     # a runt datagram must not kill the consumer (and
                     # with --volume, lose everything accumulated so far)
@@ -438,12 +439,14 @@ def cmd_consume(args):
                     continue
                 product = socks[s]
                 if product == 0:
-                    print(f"sector {sector}: {values[:4]} ...")
+                    tag = "" if elev is None else f" elev {elev}"
+                    print(f"sector {sector}{tag}: {values[:4]} ...")
                     zdbs += 1
                 if acc is not None:
-                    # the v1 result frame carries no elevation
-                    # (read_single.cc:510-520): accumulate at cut 0
-                    acc.add(product, sector, 0, values)
+                    # bare v1 frames carry no elevation
+                    # (read_single.cc:510-520): accumulate those at cut 0;
+                    # v1x frames (stream --extended-results) place exactly
+                    acc.add(product, sector, elev or 0, values)
             return zdbs
 
         got = 0
@@ -535,6 +538,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=float, default=30.0,
                    help="periodic save interval in seconds (0 saves "
                         "every batch; negative disables periodic saves)")
+    p.add_argument("--extended-results", action="store_true",
+                   help="udp transport: emit v1x result frames carrying "
+                        "the elevation (consumers reconstruct full "
+                        "volumes; default stays v1 wire-compatible)")
     p.add_argument("--debug-sync", action="store_true",
                    help="validate numerics every batch (rpv2 gpuErrchk mode)")
     p.add_argument("--max-sectors", type=int, default=None)

@@ -41,6 +41,37 @@ def unpack_result_v1(buf: bytes):
     return sector, decode_be_float32(buf[2:])
 
 
+#: Extended ("v1x") UDP result frame — a framework addition mirroring the
+#: ingest extension: the v1 result frame carries no elevation
+#: (read_single.cc:510-520), so a UDP consumer can never place results
+#: into the 143x9 volume the reference accumulates in result[2,512,143,9]
+#: (rpv2.cu:292).  Layout: [magic:uint16 BE][sector:uint16 BE]
+#: [elevation:uint16 BE][m/2 x float32 BE].  The magic has its high bit
+#: set, so it can never collide with a v1 frame's leading sector id
+#: (sector ids are small non-negative int16s); plain-v1 consumers keep
+#: working when the producer keeps the default (extended off).
+RESULT_MAGIC = 0xD752  # "WR" | 0x8000
+_V1X_HEADER = struct.Struct(">HHH")
+
+
+def pack_result_v1x(sector: int, elevation: int,
+                    values: np.ndarray) -> bytes:
+    return _V1X_HEADER.pack(RESULT_MAGIC, sector,
+                            elevation) + encode_be_float32(values)
+
+
+def unpack_result_udp(buf: bytes):
+    """Either UDP result flavour -> (sector, elevation | None, values):
+    v1x when the magic matches, bare v1 otherwise."""
+    if len(buf) >= _V1X_HEADER.size:
+        magic, sector, elevation = _V1X_HEADER.unpack_from(buf, 0)
+        if magic == RESULT_MAGIC:
+            return (sector, elevation,
+                    decode_be_float32(buf[_V1X_HEADER.size:]))
+    sector, values = unpack_result_v1(buf)
+    return sector, None, values
+
+
 def pack_result_v2(sector: int, elevation: int, values: np.ndarray) -> bytes:
     return struct.pack(">hh", sector, elevation) + encode_be_float32(values)
 

@@ -210,7 +210,12 @@ class UdpEgress:
 
     def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
                  zdb_port: int | None = None, zdr_port: int | None = None,
-                 host: str = "127.0.0.1", broadcast: bool = False):
+                 host: str = "127.0.0.1", broadcast: bool = False,
+                 extended: bool = False):
+        """extended: emit v1x frames (frames.RESULT_MAGIC header carrying
+        the elevation) instead of bare v1 — opt-in, mirroring the ingest
+        `--headers` option, so a UDP consumer can reconstruct the full
+        multi-elevation volume; off by default for reference wire parity."""
         self.cfg = cfg
         self.host = "255.255.255.255" if broadcast else host
         self.zdb_port = zdb_port if zdb_port is not None else cfg.udp_zdb_port
@@ -218,13 +223,26 @@ class UdpEgress:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         if broadcast:
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
+        self.extended = extended
+        # distinct bound signatures so the executor's v2-then-v1 publish
+        # detection (TypeError fallback) picks the right one
+        self.send = self._send_v1x if extended else self._send_v1
 
-    def send(self, sector: int, zdb: np.ndarray, zdr: np.ndarray) -> None:
+    def _send_v1(self, sector: int, zdb: np.ndarray,
+                 zdr: np.ndarray) -> None:
         """v1 frame: [sector:int16 BE][m/2 float32 BE]
         (read_single.cc:510-520)."""
         self._sock.sendto(frames.pack_result_v1(sector, zdb),
                           (self.host, self.zdb_port))
         self._sock.sendto(frames.pack_result_v1(sector, zdr),
+                          (self.host, self.zdr_port))
+
+    def _send_v1x(self, sector: int, elevation: int, zdb: np.ndarray,
+                  zdr: np.ndarray) -> None:
+        """v1x frame (see frames.pack_result_v1x): v1 plus elevation."""
+        self._sock.sendto(frames.pack_result_v1x(sector, elevation, zdb),
+                          (self.host, self.zdb_port))
+        self._sock.sendto(frames.pack_result_v1x(sector, elevation, zdr),
                           (self.host, self.zdr_port))
 
     def close(self):
