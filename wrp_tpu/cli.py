@@ -263,6 +263,7 @@ def cmd_stream(args):
         # a peer that missed its recv timeout should show up in OUR logs
         # shortly after, not look like a silent hang
         stall_warning_s=max(10.0, 2.0 * (args.timeout or 0.0)),
+        collective_timeout_s=args.collective_timeout,
         on_ready=_ready_marker(args.ready_file),
     )
     stats = ex.run()
@@ -555,6 +556,16 @@ def main(argv=None):
                         "multi-host streaming over one global mesh")
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--collective-timeout", type=float, default=None,
+                   metavar="S",
+                   help="lock-step mode: bound every wait — when a "
+                        "collective step blocks past S (a peer host "
+                        "died), or this host makes no batch progress for "
+                        "S (its own feed died, wedging the peers), save "
+                        "the volume checkpoint, print stats to stderr, "
+                        "and exit 3 instead of hanging forever; restart "
+                        "every host with --checkpoint to resume.  Set S "
+                        "comfortably above the expected sector gap")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("volume", help="inspect/export a volume checkpoint")

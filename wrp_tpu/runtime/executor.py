@@ -55,28 +55,46 @@ class _StallWatchdog:
     step (its ingest died or went idle past its recv timeout), every
     other host blocks inside XLA with no error and no log line — the run
     just looks hung.  This side-thread logs a clear diagnostic every
-    `interval` seconds for as long as the wrapped section blocks."""
+    `interval` seconds for as long as the wrapped section blocks, and —
+    when `timeout_s` is set — invokes `on_timeout(what, waited)` once the
+    block exceeds it (the bounded-failure exit: the blocked thread is
+    stuck inside XLA and cannot be unblocked host-side, so on_timeout is
+    expected to checkpoint and end the process)."""
 
     def __init__(self, what: str, interval: Optional[float],
-                 on_warn: Optional[Callable] = None):
+                 on_warn: Optional[Callable] = None,
+                 timeout_s: Optional[float] = None,
+                 on_timeout: Optional[Callable] = None):
         self.what = what
         self.interval = interval
         self.on_warn = on_warn
+        self.timeout_s = timeout_s
+        self.on_timeout = on_timeout
         self._done = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def _watch(self, t0: float):
-        while not self._done.wait(self.interval):
+        wait = self.interval or self.timeout_s
+        if self.timeout_s:
+            wait = min(wait, self.timeout_s)
+        while not self._done.wait(wait):
+            waited = time.monotonic() - t0
+            if (self.timeout_s is not None and waited >= self.timeout_s
+                    and self.on_timeout is not None):
+                self.on_timeout(self.what, waited)
+                return  # unreachable when on_timeout exits the process
             log.warning(
                 "lock-step %s blocked for %.1fs — a peer host is likely "
                 "silent (its ingest idle or dead); this host is stuck in "
                 "the collective until the peer steps or the run is killed",
-                self.what, time.monotonic() - t0)
+                self.what, waited)
             if self.on_warn is not None:
                 self.on_warn()
 
     def __enter__(self):
-        if self.interval is not None and self.interval > 0:
+        armed = (self.interval is not None and self.interval > 0) or (
+            self.timeout_s is not None and self.timeout_s > 0)
+        if armed:
             self._thread = threading.Thread(
                 target=self._watch, args=(time.monotonic(),), daemon=True,
                 name="wrp-stall-watchdog")
@@ -116,6 +134,7 @@ class StreamingExecutor:
         lockstep: bool = False,
         checkpoint_every_s: Optional[float] = 30.0,
         stall_warning_s: Optional[float] = 10.0,
+        collective_timeout_s: Optional[float] = None,
         on_ready: Optional[Callable] = None,
     ):
         """idle_limit: stop after this many consecutive idle receive
@@ -140,6 +159,17 @@ class StreamingExecutor:
         its ingest idle or dead — and every other host is stuck inside
         the collective with no error surfacing; None disables).
 
+        collective_timeout_s: in lock-step mode, bound the wait on a dead
+        peer: when a collective step blocks (or fails) past this, save
+        the volume checkpoint, write the stats summary to stderr, and
+        exit the process with code 3.  The blocked thread is inside XLA
+        and cannot be unblocked host-side, so a clean process exit is
+        the only recovery that preserves the volume; a restarted host
+        resumes from the checkpoint (cli stream --checkpoint).  None
+        (default) keeps the warn-only watchdog.  Future step: a
+        coordinator-led mesh regroup instead of exit-and-resume (needs
+        jax.distributed re-initialisation, not yet supported in-process).
+
         on_ready: called once the warmup compile is done and the ingest
         thread is listening — the point where it is safe to start a
         producer without overflowing the receive buffer (test harnesses
@@ -153,7 +183,9 @@ class StreamingExecutor:
         self.idle_limit = idle_limit
         self.lockstep = lockstep
         self.stall_warning_s = stall_warning_s
+        self.collective_timeout_s = collective_timeout_s
         self.stall_warnings = 0
+        self._processed = 0
         self.on_ready = on_ready
         self.volume = volume
         self.checkpoint_every_s = checkpoint_every_s
@@ -279,6 +311,7 @@ class StreamingExecutor:
     def _drain_batch(self):
         """Collect up to `batch` queued sectors (at least one, else None)."""
         tasks = []
+        waited0 = 0.0
         while True:
             try:
                 item = self._queue.get(timeout=0.5)
@@ -292,6 +325,18 @@ class StreamingExecutor:
                 t = self._ingest_thread
                 if t is not None and not t.is_alive() and self._queue.empty():
                     return None
+                if (self.lockstep
+                        and self.collective_timeout_s is not None):
+                    # a lock-step host that makes no progress cannot tell
+                    # a healthy idle mesh from peers blocked on its next
+                    # step; with the opt-in timeout, no-progress-for-S
+                    # exits with a checkpoint rather than risk wedging
+                    # the mesh (set S above the expected sector gap)
+                    waited0 += 0.5
+                    if waited0 >= self.collective_timeout_s:
+                        self._collective_abort(
+                            "batch start (no local traffic; peers may be "
+                            "blocked on this host's next step)", waited0)
         if item is None:
             return None
         tasks.append(item)
@@ -313,6 +358,15 @@ class StreamingExecutor:
                     if t is not None and not t.is_alive() and self._queue.empty():
                         break  # ingest gone + sentinel consumed elsewhere
                     starved_s += 0.5
+                    if (self.collective_timeout_s is not None
+                            and starved_s >= self.collective_timeout_s):
+                        # mirror image of the blocked-collective abort:
+                        # THIS host's wire died mid-batch, peers are (or
+                        # will be) blocked on our next step — bound their
+                        # wait by exiting the mesh cleanly too
+                        self._collective_abort(
+                            "batch fill (local ingest idle; peers blocked "
+                            "on this host's next step)", starved_s)
                     if starved_s >= next_starve_warn:
                         # the mirror image of _StallWatchdog: THIS host's
                         # wire went quiet mid-batch, so the peers are (or
@@ -359,7 +413,15 @@ class StreamingExecutor:
                 planar = jax.device_put(planar, self._device)
         with self.timers.time("compute/dispatch"), \
                 self._stall_watch("collective dispatch"):
-            zdb, zdr = self.processor(planar)
+            try:
+                zdb, zdr = self.processor(planar)
+            except Exception as e:
+                # a dead peer may surface as a backend error (connection
+                # reset) instead of an infinite block — same bounded exit
+                if self.lockstep and self.collective_timeout_s is not None:
+                    log.error("collective dispatch raised: %s", e)
+                    self._collective_abort("dispatch (peer failure)", 0.0)
+                raise
         return tasks, zdb, zdr
 
     def _complete_batch(self, pending) -> int:
@@ -369,8 +431,15 @@ class StreamingExecutor:
         tasks, zdb, zdr = pending
         with self.timers.time("compute/fetch"), \
                 self._stall_watch("result fetch"):
-            zdb = np.asarray(zdb)[: len(tasks)]
-            zdr = np.asarray(zdr)[: len(tasks)]
+            try:
+                zdb = np.asarray(zdb)[: len(tasks)]
+                zdr = np.asarray(zdr)[: len(tasks)]
+            except Exception as e:
+                if self.lockstep and self.collective_timeout_s is not None:
+                    log.error("collective result fetch raised: %s", e)
+                    self._collective_abort("result fetch (peer failure)",
+                                           0.0)
+                raise
         if self.debug_sync:
             # rpv2's gpuErrchk-after-every-launch as a flag, not a hardcode
             # (rpv2.cu:422-490): validate numerics every batch.
@@ -384,6 +453,7 @@ class StreamingExecutor:
                 with self.timers.time("egress/send"):
                     self._publish_one(t, zdb[k], zdr[k])
         self.throughput.tick(len(tasks))
+        self._processed += len(tasks)
         self._maybe_checkpoint()
         return len(tasks)
 
@@ -395,11 +465,50 @@ class StreamingExecutor:
         """Watchdog armed only in lock-step mode: single-host dispatch
         can't block on a peer."""
         interval = self.stall_warning_s if self.lockstep else None
+        timeout = self.collective_timeout_s if self.lockstep else None
 
         def _count():
             self.stall_warnings += 1
 
-        return _StallWatchdog(what, interval, on_warn=_count)
+        return _StallWatchdog(what, interval, on_warn=_count,
+                              timeout_s=timeout,
+                              on_timeout=self._collective_abort)
+
+    def _collective_abort(self, what: str, waited: float):
+        """Bounded-failure exit (collective_timeout_s): save the volume
+        checkpoint, write the stats summary to stderr, exit code 3.
+
+        Runs on the watchdog thread while the main thread is
+        irrecoverably blocked inside the XLA collective (nothing
+        host-side can unblock it), so it must end the process itself —
+        os._exit, since finally/atexit would need the blocked thread.
+        The volume is safe to save here: it is only mutated in the
+        epilogue of a COMPLETED batch, and the main thread is stuck
+        before that point."""
+        import json
+        import os
+        import sys
+
+        log.error(
+            "lock-step %s blocked/failed for %.1fs (collective timeout "
+            "%.1fs): a peer host is gone; saving the volume checkpoint "
+            "and exiting 3 — restart every host with --checkpoint to "
+            "resume this volume", what, waited,
+            self.collective_timeout_s or 0.0)
+        try:
+            if self.volume is not None and self.volume.path is not None:
+                self.volume.save()
+                self.checkpoints_written += 1
+                log.info("volume checkpoint saved to %s (%.1f%% covered)",
+                         self.volume.path, 100 * self.volume.fraction())
+        except Exception as e:   # a bad disk must not block the exit
+            log.error("checkpoint save failed during abort: %s", e)
+        try:
+            sys.stderr.write(json.dumps(self.stats(self._processed)) + "\n")
+            sys.stderr.flush()
+        except Exception:
+            pass
+        os._exit(3)
 
     def _maybe_checkpoint(self):
         """Periodic crash-safe volume save (VolumeScan.save is an atomic
