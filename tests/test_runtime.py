@@ -132,8 +132,7 @@ def test_executor_periodic_checkpoint_and_crash_resume(tmp_path):
     ex2 = StreamingExecutor(cfg, transport=_FakeTransport(cfg, n2),
                             batch=2, max_sectors=n2, volume=vs2,
                             checkpoint_every_s=0.0)
-    ex2._sector = n1 % cfg.num_sectors
-    ex2._elevation = n1 // cfg.num_sectors
+    ex2._pos[0][:] = [n1 % cfg.num_sectors, n1 // cfg.num_sectors]
     ex2.run()
     vs3 = VolumeScan.load(path, cfg)
     assert vs3.coverage.sum() == n1 + n2
@@ -207,7 +206,7 @@ def test_eof_sentinel_survives_full_queue():
     task = SectorTask(np.zeros((3, 2, cfg.m, cfg.n), np.float32), 0, 0)
     ex._queue.put_nowait(task)          # queue now full (maxsize 1)
     t = threading.Thread(target=ex._ingest_loop, daemon=True)
-    ex._ingest_thread = t
+    ex._ingest_threads = [t]
     t.start()
     time.sleep(0.3)                     # old code lost the sentinel here
     got = ex._drain_batch()
@@ -290,7 +289,7 @@ def test_lockstep_drain_starvation_warns():
     alive = threading.Event()
     t = threading.Thread(target=alive.wait, daemon=True)
     t.start()
-    ex._ingest_thread = t
+    ex._ingest_threads = [t]
     c, m, n = cfg.sector_shape
     ex._queue.put(SectorTask(np.zeros((c, 2, m, n), np.float32), 0, 0))
     threading.Timer(1.3, ex._queue.put, args=(None,)).start()
@@ -358,7 +357,7 @@ def test_lockstep_starvation_counter_resets_on_arrival():
     alive = threading.Event()
     t = threading.Thread(target=alive.wait, daemon=True)
     t.start()
-    ex._ingest_thread = t
+    ex._ingest_threads = [t]
     c, m, n = cfg.sector_shape
 
     def feed():

@@ -355,6 +355,54 @@ def test_udp_extended_results_reconstruct_multi_elevation_volume(cfg):
     rx_zdr.close()
 
 
+def test_multifeed_consolidation_zero_cross_contamination(cfg):
+    """VERDICT r2 item 8 / DESIGN.md section 6 consolidation story: one
+    processor multiplexes N radar feeds — per-feed ingest threads,
+    per-feed volumes, per-feed stats, one compiled chain.  Both feeds
+    send DIFFERENT data under the SAME sector labels; each per-feed
+    volume must match its own feed's oracle products exactly where
+    coverage says so (zero cross-contamination of sector labels)."""
+    from wrp_tpu.runtime import VolumeScan
+
+    n_per_feed = 3
+    feeds = 2
+    data = [_wire_sectors(cfg, n_per_feed, seed=20 + f)
+            for f in range(feeds)]
+    ingests = [UdpIngest(cfg, port=0, timeout_s=2.0) for _ in range(feeds)]
+    vols = [VolumeScan(cfg, None) for _ in range(feeds)]
+    ex = StreamingExecutor(cfg, transport=ingests, volume=vols,
+                           batch=2, max_sectors=n_per_feed)
+    res = []
+    runner = threading.Thread(target=lambda: res.append(ex.run()),
+                              daemon=True)
+    runner.start()
+    producers = [UdpProducer(cfg, port=ing.local_port,
+                             extended_headers=True) for ing in ingests]
+    for k in range(n_per_feed):
+        for f in range(feeds):
+            producers[f].send_sector(data[f][k][1], sector=k, elevation=0)
+    runner.join(timeout=60)
+    assert res, "executor did not finish"
+    stats = res[0]
+    assert stats["processed_sectors"] == feeds * n_per_feed
+    assert [fs["processed_sectors"] for fs in stats["feeds"]] == [
+        n_per_feed, n_per_feed]
+    assert all(fs["transport"]["sectors"] == n_per_feed
+               for fs in stats["feeds"])
+    for f in range(feeds):
+        for k in range(n_per_feed):
+            assert vols[f].coverage[k, 0]
+            zdb64, zdr64 = oracle.process_sector(data[f][k][0], cfg)
+            assert oracle.relative_l2(zdb64, vols[f].data[0, :, k, 0]) < 1e-4
+            assert oracle.relative_l2(zdr64, vols[f].data[1, :, k, 0]) < 1e-4
+    # the two feeds' fields are genuinely different: matching the wrong
+    # feed's volume would fail loudly
+    assert oracle.relative_l2(vols[0].data[0, 1:, 0, 0],
+                              vols[1].data[0, 1:, 0, 0]) > 1e-3
+    for x in ingests + producers:
+        x.close()
+
+
 def test_sigterm_graceful_shutdown(tmp_path):
     """SIGTERM (service-manager stop) must take the same graceful path
     as Ctrl-C: finish in-flight work, save the volume checkpoint, print

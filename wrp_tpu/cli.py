@@ -222,8 +222,16 @@ def cmd_stream(args):
     if args.transport == "udp":
         from .io.udp import UdpIngest, UdpEgress
 
-        transport = UdpIngest(cfg, port=args.ingest_port,
-                              timeout_s=args.timeout)
+        if args.feed_port:
+            # multi-feed consolidation: one ingest per port, one shared
+            # egress (frames carry sector/elevation, so a merged wire is
+            # only unambiguous per feed — use per-feed checkpoints for
+            # the authoritative volumes)
+            transport = [UdpIngest(cfg, port=p, timeout_s=args.timeout)
+                         for p in args.feed_port]
+        else:
+            transport = UdpIngest(cfg, port=args.ingest_port,
+                                  timeout_s=args.timeout)
         publish = UdpEgress(cfg, zdb_port=args.zdb_port,
                             zdr_port=args.zdr_port,
                             extended=args.extended_results)
@@ -252,7 +260,19 @@ def cmd_stream(args):
         processor = MultiHostProcessor.build(
             cfg, per_host_batch=args.batch, method=args.method).step_local
 
-    volume = _open_volume(cfg, args.checkpoint) if args.checkpoint else None
+    volume = None
+    if args.checkpoint:
+        if isinstance(transport, list):
+            # per-feed volumes: vol.npz -> vol.feed0.npz, vol.feed1.npz...
+            from pathlib import Path
+
+            base = Path(args.checkpoint)
+            volume = [
+                _open_volume(cfg, str(base.with_suffix(f".feed{k}.npz")))
+                for k in range(len(transport))
+            ]
+        else:
+            volume = _open_volume(cfg, args.checkpoint)
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,
@@ -268,8 +288,11 @@ def cmd_stream(args):
     )
     stats = ex.run()
     if volume is not None and args.checkpoint:
-        volume.save()
-        stats["volume_coverage"] = volume.fraction()
+        vols = volume if isinstance(volume, list) else [volume]
+        for v in vols:
+            v.save()
+        cov = [v.fraction() for v in vols]
+        stats["volume_coverage"] = cov if len(cov) > 1 else cov[0]
     print(json.dumps(stats, indent=2))
     return 0
 
@@ -528,6 +551,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--timeout", type=float, default=5.0)
     p.add_argument("--ingest-port", type=int, default=None)
+    p.add_argument("--feed-port", type=int, action="append", default=None,
+                   metavar="PORT",
+                   help="udp transport: repeat to multiplex several radar "
+                        "feeds into one processor (one ingest per port, "
+                        "per-feed stats and checkpoints); overrides "
+                        "--ingest-port")
     p.add_argument("--zdb-port", type=int, default=None)
     p.add_argument("--zdr-port", type=int, default=None)
     p.add_argument("--zmq-sub", default=None)

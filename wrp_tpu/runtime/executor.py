@@ -46,6 +46,7 @@ class SectorTask:
     planar: np.ndarray          # [C, 2, m, n] float32
     sector: int
     elevation: int
+    feed: int = 0               # which ingest transport produced it
 
 
 class _StallWatchdog:
@@ -112,10 +113,20 @@ class StreamingExecutor:
     """Pull sectors from a transport, process in batches, publish products.
 
     transport: object with `recv_sector() -> (bytes | None, header | None)`
-               (UdpIngest) or `recv_sector() -> bytes | None` (ZmqIngest).
+               (UdpIngest) or `recv_sector() -> bytes | None` (ZmqIngest);
+               or a LIST of such objects — the multi-feed consolidation
+               mode: one chip multiplexes several radar feeds (DESIGN.md
+               section 6), each feed with its own ingest thread, implicit
+               sector counters, volume, and stats, all batched through one
+               compiled chain.  Nothing like it exists in the reference
+               (one GPU barely kept up with one feed).
     publish:   callable(sector, elevation, zdb, zdr) or an egress object
                with `.send(...)` — v1 egress takes (sector, zdb, zdr),
                v2 takes (sector, elevation, zdb, zdr); both are detected.
+               A list gives each feed its own egress (feeds share sector
+               labels, so a merged wire would collide); a single object
+               receives every feed's frames.
+    volume:    a VolumeScan, or a list with one per feed.
     """
 
     def __init__(
@@ -175,8 +186,17 @@ class StreamingExecutor:
         producer without overflowing the receive buffer (test harnesses
         gate on this instead of guessing compile time with a sleep)."""
         self.cfg = cfg
-        self.transport = transport
-        self.publish = publish
+        self.transports = (list(transport)
+                           if isinstance(transport, (list, tuple))
+                           else ([transport] if transport is not None
+                                 else []))
+        self.transport = self.transports[0] if self.transports else None
+        self.publishes = (list(publish)
+                          if isinstance(publish, (list, tuple))
+                          else [publish] * max(1, len(self.transports)))
+        if len(self.publishes) not in (0, max(1, len(self.transports))):
+            raise ValueError("publish list must match the transport list")
+        self.publish = self.publishes[0] if self.publishes else None
         self.batch = batch
         self.debug_sync = debug_sync
         self.max_sectors = max_sectors
@@ -187,7 +207,19 @@ class StreamingExecutor:
         self.stall_warnings = 0
         self._processed = 0
         self.on_ready = on_ready
-        self.volume = volume
+        nfeeds = max(1, len(self.transports))
+        if isinstance(volume, (list, tuple)):
+            self.volumes = list(volume)
+            if len(self.volumes) != nfeeds:
+                raise ValueError("volume list must match the transport list")
+        elif len(self.transports) > 1 and volume is not None:
+            # feeds share sector/elevation labels: one volume would be
+            # silently cross-contaminated
+            raise ValueError("multi-feed mode needs one volume per feed "
+                             "(pass a list)")
+        else:
+            self.volumes = [volume] * nfeeds
+        self.volume = self.volumes[0]
         self.checkpoint_every_s = checkpoint_every_s
         self._last_checkpoint = 0.0
         self.checkpoints_written = 0
@@ -215,23 +247,26 @@ class StreamingExecutor:
             maxsize=queue_depth * batch
         )
         self._stop = threading.Event()
-        self._ingest_thread: Optional[threading.Thread] = None
+        self._ingest_threads: list[threading.Thread] = []
         self._ingest_error: Optional[BaseException] = None
+        self._eof_feeds = 0
         self.bad_headers = 0
-        # reference counters (rpv2.cu:46-51, advance() :572-579)
-        self._sector = 0
-        self._elevation = 0
+        # reference counters (rpv2.cu:46-51, advance() :572-579), per feed
+        self._pos = [[0, 0] for _ in range(nfeeds)]
+        self._feed_processed = [0] * nfeeds
 
     # ------------------------------------------------------------------
     # ingest side
     # ------------------------------------------------------------------
 
-    def _advance(self):
-        self._sector = (self._sector + 1) % self.cfg.num_sectors
-        if self._sector == 0:
-            self._elevation = (self._elevation + 1) % self.cfg.num_elevations
+    def _advance(self, feed: int = 0):
+        pos = self._pos[feed]
+        pos[0] = (pos[0] + 1) % self.cfg.num_sectors
+        if pos[0] == 0:
+            pos[1] = (pos[1] + 1) % self.cfg.num_elevations
 
-    def _ingest_loop(self):
+    def _ingest_loop(self, feed: int = 0):
+        transport = self.transports[feed] if self.transports else None
         received = 0
         idle = 0
         try:
@@ -240,10 +275,10 @@ class StreamingExecutor:
                     break
                 with self.timers.time("ingest/recv"):
                     try:
-                        got = self.transport.recv_sector()
+                        got = transport.recv_sector()
                     except TimeoutError as e:
-                        log.warning("dropped sector: %s", e)
-                        self._advance()
+                        log.warning("feed %d dropped sector: %s", feed, e)
+                        self._advance(feed)
                         continue
                 if isinstance(got, tuple):
                     wire, header = got
@@ -271,23 +306,23 @@ class StreamingExecutor:
                         self.bad_headers += 1
                         log.warning("bad wire header clamped to (%d, %d)",
                                     sector, elevation)
-                    self._sector, self._elevation = sector, elevation
+                    self._pos[feed][:] = [sector, elevation]
                 else:
-                    sector, elevation = self._sector, self._elevation
+                    sector, elevation = self._pos[feed]
                 with self.timers.time("ingest/decode"):
                     if self._decode_radix:
                         planar = codec.decode_iq_i16(
                             wire, self.cfg, radix=self._decode_radix)
                     else:
                         planar = codec.decode_iq(wire, self.cfg)
-                task = SectorTask(planar, sector, elevation)
+                task = SectorTask(planar, sector, elevation, feed)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(task, timeout=0.2)
                         break
                     except queue.Full:
                         continue  # shutdown must not hang on a full queue
-                self._advance()
+                self._advance(feed)
                 received += 1
         except BaseException as e:  # surface into run()
             self._ingest_error = e
@@ -312,18 +347,20 @@ class StreamingExecutor:
         """Collect up to `batch` queued sectors (at least one, else None)."""
         tasks = []
         waited0 = 0.0
-        while True:
+        nfeeds = max(1, len(self.transports))
+        item = None
+        while item is None:
             try:
                 item = self._queue.get(timeout=0.5)
-                break
             except queue.Empty:
-                # Defensive liveness check: if the ingest thread died and
-                # the queue stayed empty (its EOF sentinel should prevent
-                # this), don't block forever.  The queue.empty() guard
-                # matters: tasks (and the sentinel) enqueued just before
-                # ingest exit must still be drained, not dropped.
-                t = self._ingest_thread
-                if t is not None and not t.is_alive() and self._queue.empty():
+                # Defensive liveness check: if every ingest thread died
+                # and the queue stayed empty (their EOF sentinels should
+                # prevent this), don't block forever.  The queue.empty()
+                # guard matters: tasks (and sentinels) enqueued just
+                # before ingest exit must still be drained, not dropped.
+                ts = self._ingest_threads
+                if (ts and all(not t.is_alive() for t in ts)
+                        and self._queue.empty()):
                     return None
                 if (self.lockstep
                         and self.collective_timeout_s is not None):
@@ -337,8 +374,11 @@ class StreamingExecutor:
                         self._collective_abort(
                             "batch start (no local traffic; peers may be "
                             "blocked on this host's next step)", waited0)
-        if item is None:
-            return None
+                continue
+            if item is None:            # one feed reached end-of-stream
+                self._eof_feeds += 1
+                if self._eof_feeds >= nfeeds:
+                    return None
         tasks.append(item)
         starved_s = 0.0
         next_starve_warn = self.stall_warning_s or float("inf")
@@ -354,9 +394,10 @@ class StreamingExecutor:
                     starved_s = 0.0
                     next_starve_warn = self.stall_warning_s or float("inf")
                 except queue.Empty:
-                    t = self._ingest_thread
-                    if t is not None and not t.is_alive() and self._queue.empty():
-                        break  # ingest gone + sentinel consumed elsewhere
+                    ts = self._ingest_threads
+                    if (ts and all(not t.is_alive() for t in ts)
+                            and self._queue.empty()):
+                        break  # ingest gone + sentinels consumed elsewhere
                     starved_s += 0.5
                     if (self.collective_timeout_s is not None
                             and starved_s >= self.collective_timeout_s):
@@ -384,9 +425,12 @@ class StreamingExecutor:
                     item = self._queue.get_nowait()
                 except queue.Empty:
                     break
-            if item is None:
-                self._queue.put(None)  # re-signal EOF for next round
-                break
+            if item is None:           # one feed reached end-of-stream
+                self._eof_feeds += 1
+                if self._eof_feeds >= max(1, len(self.transports)):
+                    self._queue.put(None)  # re-signal EOF for next round
+                    break
+                continue               # other feeds still flowing
             tasks.append(item)
         return tasks
 
@@ -447,11 +491,13 @@ class StreamingExecutor:
             if bad.any():
                 log.error("debug_sync: %d non-finite zdb bins", int(bad.sum()))
         for k, t in enumerate(tasks):
-            if self.volume is not None:
-                self.volume.store(t.sector, t.elevation, zdb[k], zdr[k])
-            if self.publish is not None:
+            vol = self.volumes[t.feed]
+            if vol is not None:
+                vol.store(t.sector, t.elevation, zdb[k], zdr[k])
+            if self.publishes[t.feed] is not None:
                 with self.timers.time("egress/send"):
                     self._publish_one(t, zdb[k], zdr[k])
+            self._feed_processed[t.feed] += 1
         self.throughput.tick(len(tasks))
         self._processed += len(tasks)
         self._maybe_checkpoint()
@@ -496,11 +542,12 @@ class StreamingExecutor:
             "resume this volume", what, waited,
             self.collective_timeout_s or 0.0)
         try:
-            if self.volume is not None and self.volume.path is not None:
-                self.volume.save()
-                self.checkpoints_written += 1
-                log.info("volume checkpoint saved to %s (%.1f%% covered)",
-                         self.volume.path, 100 * self.volume.fraction())
+            for vol in self.volumes:
+                if vol is not None and vol.path is not None:
+                    vol.save()
+                    self.checkpoints_written += 1
+                    log.info("volume checkpoint saved to %s (%.1f%% "
+                             "covered)", vol.path, 100 * vol.fraction())
         except Exception as e:   # a bad disk must not block the exit
             log.error("checkpoint save failed during abort: %s", e)
         try:
@@ -513,18 +560,20 @@ class StreamingExecutor:
     def _maybe_checkpoint(self):
         """Periodic crash-safe volume save (VolumeScan.save is an atomic
         write-temp + rename, so a kill mid-save never corrupts the file)."""
-        if (self.volume is None or self.volume.path is None
-                or self.checkpoint_every_s is None):
+        vols = [v for v in self.volumes
+                if v is not None and v.path is not None]
+        if not vols or self.checkpoint_every_s is None:
             return
         now = time.monotonic()
         if now - self._last_checkpoint >= self.checkpoint_every_s:
             with self.timers.time("checkpoint/save"):
-                self.volume.save()
+                for v in vols:
+                    v.save()
             self._last_checkpoint = now
             self.checkpoints_written += 1
 
     def _publish_one(self, t: SectorTask, zdb, zdr):
-        pub = self.publish
+        pub = self.publishes[t.feed]
         if callable(pub) and not hasattr(pub, "send"):
             pub(t.sector, t.elevation, zdb, zdr)
             return
@@ -548,11 +597,16 @@ class StreamingExecutor:
         """Blocking steady-state loop; returns a stats summary."""
         with self.timers.time("compute/warmup_compile"):
             self.warmup()
-        log.info("warmup complete, ingest starting")
-        ingest = threading.Thread(target=self._ingest_loop, daemon=True,
-                                  name="wrp-ingest")
-        self._ingest_thread = ingest
-        ingest.start()
+        log.info("warmup complete, ingest starting (%d feed%s)",
+                 max(1, len(self.transports)),
+                 "s" if len(self.transports) > 1 else "")
+        self._ingest_threads = [
+            threading.Thread(target=self._ingest_loop, args=(k,),
+                             daemon=True, name=f"wrp-ingest-{k}")
+            for k in range(max(1, len(self.transports)))
+        ]
+        for t in self._ingest_threads:
+            t.start()
         if self.on_ready is not None:
             self.on_ready()
         processed = 0
@@ -617,7 +671,8 @@ class StreamingExecutor:
                 complete_pending()
         finally:
             self._stop.set()
-            ingest.join(timeout=5)
+            for t in self._ingest_threads:
+                t.join(timeout=5)
         if self._ingest_error is not None:
             raise self._ingest_error
         return self.stats(processed)
@@ -626,7 +681,7 @@ class StreamingExecutor:
         self._stop.set()
 
     def stats(self, processed: int) -> dict:
-        return {
+        out = {
             "processed_sectors": processed,
             "bad_headers": self.bad_headers,
             "stall_warnings": self.stall_warnings,
@@ -636,3 +691,11 @@ class StreamingExecutor:
             "transport": dataclasses.asdict(self.transport.stats)
             if hasattr(self.transport, "stats") else {},
         }
+        if len(self.transports) > 1:
+            out["feeds"] = [
+                {"processed_sectors": self._feed_processed[k],
+                 "transport": dataclasses.asdict(tr.stats)
+                 if hasattr(tr, "stats") else {}}
+                for k, tr in enumerate(self.transports)
+            ]
+        return out
