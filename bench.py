@@ -42,9 +42,12 @@ def main():
     ap.add_argument("--channels", type=int, default=3, choices=[2, 3],
                     help="2 compares against the reference's 2-channel "
                          "nocin baseline (73.5 sectors/s)")
-    ap.add_argument("--a-layout", default=None, choices=["split", "kcat"],
+    ap.add_argument("--a-layout", default=None,
+                    choices=["split", "kcat", "kcat2"],
                     help="radix-kernel A-operand layout (A/B harness; "
-                         "default = ops.pallas.fullchain.A_LAYOUT)")
+                         "default = ops.pallas.fullchain.A_LAYOUT; kcat2 "
+                         "= two-dot K-concat, 1/3 less stack-copy "
+                         "traffic)")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -170,10 +173,13 @@ def main():
             proc = SectorProcessor(cfg, method="pallas", device=dev,
                                    layout="radix")
 
+            kcat2 = args.a_layout == "kcat2"
+
             def power_at(x_all, off, salt):
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, fac, wd_d, ph_d,
-                    interpret=interp, offset=off, bc=bcn, salt=salt)
+                    interpret=interp, offset=off, bc=bcn, salt=salt,
+                    kcat2=kcat2)
         else:
             a_split = put(FC.split_operator_host(consts.op_a_half))
 

@@ -80,13 +80,14 @@ def test_fused_chain_method_vs_oracle():
     assert oracle.relative_l2(stages["10zdr"], zdr) < 2e-4
 
 
-@pytest.mark.parametrize("layout", ["split", "kcat"])
+@pytest.mark.parametrize("layout", ["split", "kcat", "kcat2"])
 def test_radix_kernel_layouts_vs_oracle(layout):
-    """Both A-operand layouts of the radix kernel (split = six [M, M]
+    """All A-operand layouts of the radix kernel (split = six [M, M]
     planes with three MXU passes per Gauss product; kcat = one K=3M dot
-    with in-MXU accumulation) must match the fp64 oracle.  The default
+    with in-MXU accumulation; kcat2 = two dots with a 2M-row stack and a
+    free-slice al@xh pass) must match the fp64 oracle.  The default
     layout is whichever measured faster on hardware (fullchain.A_LAYOUT);
-    this pins the non-default one so an A/B flip can't rot."""
+    this pins the non-default ones so an A/B flip can't rot."""
     import jax.numpy as jnp
 
     from wrp_tpu.config import DEFAULT_CONFIG
@@ -106,7 +107,7 @@ def test_radix_kernel_layouts_vs_oracle(layout):
     got = np.asarray(FC.fused_chain_power_radix(
         jnp.asarray(x), jnp.asarray(a_np), fac,
         jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
-        interpret=True))
+        interpret=True, kcat2=(layout == "kcat2")))
     assert got.shape == (cfg.num_channels, cfg.m // 2)
     for ch in range(cfg.num_channels):
         assert oracle.relative_l2(pow64[ch], got[ch]) < 1e-5, (layout, ch)
@@ -126,11 +127,11 @@ def test_radix_kernel_layouts_agree():
     rng = np.random.default_rng(5)
     x = rng.integers(-8192, 8192, (2, 2, cfg.m, cfg.n)).astype(np.float32)
     outs = {}
-    for layout in ("split", "kcat"):
+    for layout in ("split", "kcat", "kcat2"):
         a_np, fac = FC.radix_plan_host(consts, radix, layout=layout)
         outs[layout] = np.asarray(FC.fused_chain_power_radix(
             jnp.asarray(x), jnp.asarray(a_np), fac,
             jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
-            interpret=True))
-    err = oracle.relative_l2(outs["split"], outs["kcat"])
-    assert err < 1e-6, err
+            interpret=True, kcat2=(layout == "kcat2")))
+    assert oracle.relative_l2(outs["split"], outs["kcat"]) < 1e-6
+    assert oracle.relative_l2(outs["split"], outs["kcat2"]) < 1e-6

@@ -299,8 +299,11 @@ def radix_plan_host(consts: PipelineConstants, radix: int,
     from ...constants import dft_matrix
 
     layout = layout or A_LAYOUT
+    if layout == "kcat2":
+        layout = "kcat"   # same operand array; only the kernel pattern
     if layout not in ("split", "kcat"):
-        raise ValueError(f"unknown A layout {layout!r}: use 'split' or 'kcat'")
+        raise ValueError(f"unknown A layout {layout!r}: use 'split', "
+                         "'kcat', or 'kcat2'")
     mh, m = consts.op_a_half.shape
     M = m // radix
     S = (m // 2) // M
@@ -402,7 +405,7 @@ def _combine_radix4(G):
 
 
 def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=None):
+                  pow_ref, salt=None, kcat2=False):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
@@ -440,7 +443,22 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
         xrh, xrl = xrh_a[rows], xrl_a[rows]
         xih, xil = xih_a[rows], xil_a[rows]
         xsh, xsl = xsh_a[rows], xsl_a[rows]
-        if kcat:
+        if kcat and kcat2:
+            # two-dot variant of the K-concat product: the [xh;xl] stack
+            # copies 2M rows instead of [xh;xl;xh]'s 3M (xh was stacked
+            # twice), the al@xh pass reads the split array in place, and
+            # one VPU f32 add recombines — trades 1/3 of the stack-copy
+            # traffic for an extra (pipelined) dot + add per product.
+            # Same host operand array as kcat: [:, :2M] = [ah|ah],
+            # [:, 2M:] = al.
+            def dot2(ag, xh, xl):
+                x2 = jnp.concatenate([xh, xl], axis=0)
+                return dot(ag[:, : 2 * M], x2) + dot(ag[:, 2 * M:], xh)
+
+            m1 = dot2(a_ref[p, 0], xrh, xrl)
+            m2 = dot2(a_ref[p, 1], xih, xil)
+            m3 = dot2(a_ref[p, 2], xsh, xsl)
+        elif kcat:
             # one K=3M MXU dot per Gauss product: [ah|ah|al]@[xh;xl;xh]
             # accumulates the three split passes inside the MXU (no VPU
             # f32 adds between passes)
@@ -477,11 +495,11 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     pow_ref[0, 0, :] = s_
 
 
-def _kernel_radix_offset(n, radix, fac, salted, s_ref, x_ref, a_ref,
+def _kernel_radix_offset(n, radix, fac, salted, kcat2, s_ref, x_ref, a_ref,
                          wd_ref, ph_ref, pow_ref):
     salt = s_ref[1].astype(jnp.float32) if salted else None
     _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=salt)
+                  pow_ref, salt=salt, kcat2=kcat2)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
@@ -489,13 +507,14 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
                             phasors: jax.Array,
                             interpret: bool = False,
                             offset=None, bc: int | None = None,
-                            salt=None) -> jax.Array:
+                            salt=None, kcat2: bool = False) -> jax.Array:
     """Radix kernel entry: x_r [bc, 2, m, n] with rows in radix order.
 
     With offset/bc set, reads a slab of a larger staged array via scalar
     prefetch (the honest-benchmark path, see fused_chain_power_at); salt
     (int32 scalar) additionally makes each call's computation unique —
-    see _kernel_radix.  salt is ignored in interpret mode."""
+    see _kernel_radix.  salt is ignored in interpret mode.  kcat2 picks
+    the two-dot K-concat pattern (same operand array as kcat)."""
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
@@ -507,7 +526,8 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         offset = None
     if offset is None:
         bc = x_r.shape[0]
-        kernel = functools.partial(_kernel_radix, float(n), radix, fac)
+        kernel = functools.partial(_kernel_radix, float(n), radix, fac,
+                                   kcat2=kcat2)
         in_specs = [
             pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -530,7 +550,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         )(x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
     kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
-                               salt is not None)
+                               salt is not None, kcat2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bc,),
