@@ -1,0 +1,55 @@
+"""The benchmark harness itself is part of the proof surface: its JSON
+contract (driver-facing), its parity self-check, and the sharded
+(shard_map) measurement path must not rot.  Smoke runs on CPU."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_bench(*flags):
+    env = dict(
+        os.environ,
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--smoke", *flags],
+        cwd=REPO, capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bench_smoke_json_contract():
+    r = _run_bench()
+    assert r["metric"] == "sectors_per_second_3ch"
+    assert r["value"] > 0 and r["unit"] == "sectors/s"
+    assert r["vs_baseline"] > 0
+    # the parity self-check gates every run (exit 1 + JSON error on
+    # failure); its measurements ride in the result
+    e0, e1 = r["parity_rel_l2"]
+    assert e0 < 1e-4 and e1 < 1e-3
+
+
+def test_bench_smoke_sharded_runs_under_mesh():
+    """--sharded wraps the salted loop in shard_map (the compiled-on-
+    metal configuration, SHARDED_TPU_r03.json); keep the CPU lowering
+    and both production sharded entries' parity checks alive."""
+    r = _run_bench("--sharded", "2")
+    assert r["sharded_devices"] == 2
+    par = r["sharded_parity_rel_l2"]
+    assert par["pallas"] < 1e-4      # vs unsharded flagship
+    assert par["mxu"] < 1e-3         # transpose path, degenerate seq=1
+    assert r["value"] > 0
+
+
+def test_bench_smoke_salted_xla_method():
+    """The ladder methods run under the per-repeat-salted loop; the
+    self-check pins the cancellation residual."""
+    r = _run_bench("--method", "parseval")
+    assert r["method"] == "parseval"
+    assert r["parity_rel_l2"][1] < 1e-3
