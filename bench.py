@@ -319,8 +319,14 @@ def main():
                                                      method=meth)
             zdb_s = np.asarray(sh_step(shard_batch(nat, mesh_b, sh_in))[0])
             sharded_parity[meth] = _rel(zdb_u, zdb_s)
+        # third sharded formulation: pulse sharding + ppermute halo
+        from wrp_tpu.parallel.halo import build_halo_processor
+
+        halo_step, halo_in = build_halo_processor(cfg, mesh_b)
+        zdb_h = np.asarray(halo_step(shard_batch(nat, mesh_b, halo_in))[0])
+        sharded_parity["halo"] = _rel(zdb_u, zdb_h)
         err0 = sharded_parity["pallas"]
-        err1 = sharded_parity["mxu"]
+        err1 = max(sharded_parity["mxu"], sharded_parity["halo"])
         thr0, thr1 = 1e-4, 1e-3
     elif args.method == "pallas":
         x_flat = dev_iq.reshape(args.distinct * bcn, 2, m, n)
