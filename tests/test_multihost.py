@@ -142,6 +142,130 @@ def test_lockstep_dead_peer_bounded_exit(tmp_path):
     assert waited < 100, waited       # bounded, not a silent hang
 
 
+def _launch_lockstep_hosts(tmp_path, coord_port, ports, ckpt, tag,
+                           max_sectors, extra=()):
+    hosts, ready = [], []
+    for pid in range(2):
+        ing, zdb, zdr = ports[pid]
+        r = tmp_path / f"ready-{tag}-{pid}"
+        ready.append(r)
+        env = {
+            "JAX_PLATFORM_NAME": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "PYTHONPATH": str(REPO),
+        }
+        hosts.append(subprocess.Popen(
+            [sys.executable, "-m", "wrp_tpu.cli", "stream",
+             "--transport", "udp", "--ingest-port", str(ing),
+             "--zdb-port", str(zdb), "--zdr-port", str(zdr),
+             "--batch", "2", "--max-sectors", str(max_sectors),
+             "--timeout", "5", "--checkpoint-every", "0",
+             "--ready-file", str(r), "--checkpoint", str(ckpt[pid]),
+             *extra,
+             "--coordinator", f"127.0.0.1:{coord_port}",
+             "--num-hosts", "2", "--host-id", str(pid)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env))
+    return hosts, ready
+
+
+def _await_ready(hosts, ready):
+    import time
+
+    deadline = time.monotonic() + 180
+    while not all(r.exists() for r in ready):
+        for p in hosts:
+            assert p.poll() is None, p.communicate()
+        assert time.monotonic() < deadline, "hosts never became ready"
+        time.sleep(0.5)
+
+
+def _produce(port, sectors, start=0, rate=2):
+    subprocess.run(
+        [sys.executable, "-m", "wrp_tpu.cli", "produce",
+         "--transport", "udp", "--ingest-port", str(port),
+         "--sectors", str(sectors), "--start-sector", str(start),
+         "--headers", "--rate", str(rate)],
+        cwd=REPO, check=True, capture_output=True, timeout=120)
+
+
+def test_lockstep_kill_restart_resume_completes(tmp_path):
+    """The full failure-recovery cycle, end to end, with the semantics
+    the data-parallel design actually gives (parallel/multihost.py): the
+    per-step program has NO cross-host collective, so a SIGKILLed peer
+    does not even interrupt the survivor — it keeps processing its own
+    sectors to completion and, thanks to the bounded lock-step exit in
+    cmd_stream, exits 0 promptly instead of hanging ~90 s in the atexit
+    jax.distributed.shutdown until the coordination service's fatal
+    teardown (rc 1).  Then BOTH hosts restart with --checkpoint and the
+    dead host's producer resumes at the next sector label; both volumes
+    complete.  (The reference lost everything in this scenario; the
+    --collective-timeout bound additionally covers programs whose steps
+    DO block on collectives, e.g. seq-sharded meshes.)"""
+    import json
+    import signal
+    import time
+
+    from wrp_tpu.runtime import VolumeScan
+
+    ports = [(_free_port(), _free_port(), _free_port()) for _ in range(2)]
+    ckpt = [tmp_path / f"vol{pid}.npz" for pid in range(2)]
+
+    # ---- phase A: both hosts process one full batch, checkpointed ----
+    hosts, ready = _launch_lockstep_hosts(
+        tmp_path, _free_port(), ports, ckpt, "a", max_sectors=4,
+        extra=("--collective-timeout", "15"))
+    _await_ready(hosts, ready)
+    for pid in range(2):
+        _produce(ports[pid][0], 2)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        try:
+            if all(c.exists()
+                   and VolumeScan.load(str(c)).coverage.sum() == 2
+                   for c in ckpt):
+                break
+        except Exception:
+            pass  # mid-rename read
+        for p in hosts:
+            assert p.poll() is None, p.communicate()
+        time.sleep(0.5)
+    else:
+        raise AssertionError("phase-A checkpoints never reached 2 sectors")
+
+    # kill host 1 mid-stream; the survivor must finish ITS feed and exit
+    # cleanly within a bound (not block, not wait for the ~90 s fatal)
+    hosts[1].send_signal(signal.SIGKILL)
+    hosts[1].wait(timeout=30)
+    _produce(ports[0][0], 2, start=2)
+    t0 = time.monotonic()
+    out, err = hosts[0].communicate(timeout=120)
+    waited = time.monotonic() - t0
+    assert hosts[0].returncode == 0, (out[-300:], err[-2000:])
+    assert waited < 80, waited
+    assert json.loads(out)["processed_sectors"] == 4
+    assert VolumeScan.load(str(ckpt[0])).coverage.sum() == 4
+    assert VolumeScan.load(str(ckpt[1])).coverage.sum() == 2
+
+    # ---- phase B: restart both hosts; the dead host's feed resumes ----
+    hosts, ready = _launch_lockstep_hosts(
+        tmp_path, _free_port(), ports, ckpt, "b", max_sectors=2)
+    _await_ready(hosts, ready)
+    for pid in range(2):
+        _produce(ports[pid][0], 2, start=2)
+    for pid, p in enumerate(hosts):
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, (pid, out[-300:], err[-2000:])
+        stats = json.loads(out)
+        assert stats["processed_sectors"] == 2, (pid, stats)
+    for pid in range(2):
+        vs = VolumeScan.load(str(ckpt[pid]))
+        assert vs.coverage.sum() == 4, (pid, vs.coverage.sum())
+        assert vs.coverage[:4, 0].all()   # sectors 0-3, elevation 0
+
+
 def test_two_host_lockstep_streaming(tmp_path):
     """Two `cli stream` processes form one mesh (--coordinator); each host
     ingests its own UDP feed and publishes its own sectors' products —

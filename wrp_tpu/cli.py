@@ -294,6 +294,32 @@ def cmd_stream(args):
         cov = [v.fraction() for v in vols]
         stats["volume_coverage"] = cov if len(cov) > 1 else cov[0]
     print(json.dumps(stats, indent=2))
+    if args.coordinator:
+        # Bounded exit for the lock-step path.  With a dead peer, the
+        # atexit jax.distributed.shutdown blocks on the coordination
+        # handshake until the service's ~90 s fatal teardown kills the
+        # process with rc 1 — AFTER all work and checkpoints are safely
+        # on disk (the data-parallel step needs no cross-host
+        # collective, so a survivor streams its own sectors to
+        # completion regardless; parallel/multihost.py).  Attempt the
+        # graceful shutdown — healthy meshes (and the coordinator
+        # waiting for live clients) complete it in milliseconds — but
+        # bound it with a hard-exit timer so a dead peer costs at most
+        # `bound` seconds, not the fatal-teardown minute-and-a-half.
+        import os
+        import threading
+
+        import jax
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        bound = max(10.0, args.collective_timeout or 0.0)
+        threading.Timer(bound, lambda: os._exit(0)).start()
+        try:
+            jax.distributed.shutdown()
+        except Exception:
+            pass
+        os._exit(0)
     return 0
 
 
@@ -375,7 +401,8 @@ def cmd_produce(args):
 
     rng = np.random.default_rng(args.seed)
     sent = 0
-    for k in range(args.sectors):
+    for k0 in range(args.sectors):
+        k = args.start_sector + k0
         sector = k % cfg.num_sectors
         elevation = (k // cfg.num_sectors) % cfg.num_elevations
         if replay_wire is not None:
@@ -611,6 +638,9 @@ def main(argv=None):
     p = sub.add_parser("produce", help="replay sectors onto the wire")
     p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--sectors", type=int, default=143)
+    p.add_argument("--start-sector", type=int, default=0,
+                   help="label offset: resume a feed mid-volume (the "
+                        "sector/elevation counters start here)")
     p.add_argument("--rate", type=float, default=0.0, help="sectors/s cap")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--host", default="127.0.0.1")
