@@ -166,6 +166,35 @@ def test_cli_volume_render(tmp_path, capsys):
     assert out.read_bytes().startswith(b"P6\n512 512\n255\n")
 
 
+def test_cli_volume_render_all_mosaic(tmp_path):
+    """--render-all tiles every elevation cut into one mosaic with a
+    shared color scale; covered cuts show color, untouched cuts stay
+    black."""
+    from wrp_tpu import viz
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = tiny_config(m=16, n=8)       # 2 elevation cuts
+    vs = VolumeScan(cfg, tmp_path / "v.npz")
+    for s in range(cfg.num_sectors):   # only elevation 0 covered
+        vs.store(s, 0, np.linspace(0, 50, 8).astype(np.float32),
+                 np.zeros(8, np.float32))
+    vs.save()
+    out = tmp_path / "mosaic.ppm"
+    rc = cli.main(["volume", str(tmp_path / "v.npz"),
+                   "--render-all", str(out), "--render-size", "64"])
+    assert rc == 0
+    img_bytes = out.read_bytes()
+    assert img_bytes.startswith(b"P6\n")
+    # direct API check: cut 0 colored, cut 1 (uncovered) black
+    mosaic = viz.render_volume_mosaic(np.asarray(vs.data[0]), vs.coverage,
+                                      size=64, cols=2, pad=2)
+    cut0 = mosaic[2:66, 2:66]
+    cut1 = mosaic[2:66, 68:132]
+    assert cut0.any()
+    assert not cut1.any()
+
+
 def test_cli_consume_accumulates_volume(tmp_path, monkeypatch, capsys):
     """consume --volume: received zdb+zdr frames become a renderable
     volume checkpoint (the consumer as a display endpoint, not a print

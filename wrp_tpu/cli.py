@@ -360,6 +360,17 @@ def cmd_volume(args):
         viz.write_ppm(args.render, img)
         print(f"rendered {args.product} elevation {args.elevation} "
               f"-> {args.render}", file=sys.stderr)
+    if args.render_all:
+        from . import viz
+
+        plane = {"zdb": 0, "zdr": 1}[args.product]
+        img = viz.render_volume_mosaic(
+            np.asarray(vs.data[plane]), vs.coverage,
+            size=min(args.render_size, 256))
+        viz.write_ppm(args.render_all, img)
+        print(f"rendered {args.product} mosaic of "
+              f"{vs.data.shape[-1]} cuts -> {args.render_all}",
+              file=sys.stderr)
     return 0
 
 
@@ -630,6 +641,9 @@ def main(argv=None):
     p.add_argument("--render", default=None, metavar="OUT.ppm",
                    help="render a PPI image of one elevation cut (binary "
                         "PPM, no imaging deps)")
+    p.add_argument("--render-all", default=None, metavar="OUT.ppm",
+                   help="render ALL elevation cuts as one tiled mosaic "
+                        "with a shared color scale")
     p.add_argument("--product", default="zdb", choices=["zdb", "zdr"])
     p.add_argument("--elevation", type=int, default=0)
     p.add_argument("--render-size", type=int, default=512)

@@ -79,6 +79,41 @@ def render_ppi(field: np.ndarray, size: int = 512,
     return img
 
 
+def render_volume_mosaic(plane: np.ndarray, coverage: np.ndarray,
+                         size: int = 256, cols: int = 3,
+                         pad: int = 4) -> np.ndarray:
+    """All elevation cuts of one product as a tiled PPI mosaic.
+
+    plane: [bins, sectors, elevations]; coverage: [sectors, elevations]
+    (uncovered sectors render black).  One SHARED color scale across all
+    cuts, so intensity is comparable between elevations — the full
+    result[2, 512, 143, 9] volume (rpv2.cu:292) as one image.
+    """
+    bins, sectors, elevs = plane.shape
+    fields = []
+    for e in range(elevs):
+        f = np.array(plane[:, :, e], np.float64)
+        f[:, ~coverage[:, e]] = np.nan
+        fields.append(f)
+    finite = np.concatenate(
+        [f[np.isfinite(f)] for f in fields] or [np.zeros(1)])
+    if finite.size:
+        vmin = float(np.percentile(finite, 2))
+        vmax = float(np.percentile(finite, 98))
+    else:
+        vmin, vmax = 0.0, 1.0
+    rows = (elevs + cols - 1) // cols
+    h = rows * size + (rows + 1) * pad
+    w = cols * size + (cols + 1) * pad
+    canvas = np.zeros((h, w, 3), np.uint8)
+    for e, f in enumerate(fields):
+        r, c = divmod(e, cols)
+        y = pad + r * (size + pad)
+        x = pad + c * (size + pad)
+        canvas[y:y + size, x:x + size] = render_ppi(f, size, vmin, vmax)
+    return canvas
+
+
 def write_ppm(path: str | Path, img: np.ndarray) -> Path:
     """Binary PPM (P6) — no imaging dependency needed to view/convert."""
     img = np.ascontiguousarray(img, np.uint8)
