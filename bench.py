@@ -167,26 +167,34 @@ def main():
             a_radix = put(a_np)
             host_iq = np.ascontiguousarray(
                 host_iq[:, :, :, :, FC.radix_row_order(m, radix), :])
-            # restage: dev_iq above was put in natural row order, and the
-            # secondary with-h2d metric must not double-permute
-            dev_iq = jax.block_until_ready(jax.device_put(host_iq, dev))
+            if not args.sharded:
+                # restage: dev_iq above was put in natural row order, and
+                # the secondary with-h2d metric must not double-permute.
+                # (--sharded restages with its mesh sharding below; the
+                # single-device restage would be dead multi-GB H2D work.)
+                dev_iq = jax.block_until_ready(
+                    jax.device_put(host_iq, dev))
             proc = SectorProcessor(cfg, method="pallas", device=dev,
                                    layout="radix")
 
             kcat2 = args.a_layout == "kcat2"
 
-            def power_at(x_all, off, salt):
+            def power_at(x_all, off, salt, bc=bcn):
+                # bc must match the caller's slab size: the global bcn
+                # for the single-device loop, the per-device bcn_loc
+                # under --sharded (a global bc there would issue an
+                # N-times-too-wide grid reading past the local buffer)
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, fac, wd_d, ph_d,
-                    interpret=interp, offset=off, bc=bcn, salt=salt,
+                    interpret=interp, offset=off, bc=bc, salt=salt,
                     kcat2=kcat2)
         else:
             a_split = put(FC.split_operator_host(consts.op_a_half))
 
-            def power_at(x_all, off, salt):
+            def power_at(x_all, off, salt, bc=bcn):
                 del salt  # tiny fallback geometries: offsets suffice
                 return FC.fused_chain_power_at(
-                    x_all, off, bcn, a_split, wd_d, ph_d, interpret=interp)
+                    x_all, off, bc, a_split, wd_d, ph_d, interpret=interp)
 
         @jax.jit
         def timed_passes(iq_all):
@@ -227,7 +235,8 @@ def main():
 
                 def one_step(i, carry):
                     off = (i % args.distinct) * bcn_loc
-                    pw = power_at(x_all, off, i).reshape(-1, c, m // 2)
+                    pw = power_at(x_all, off, i,
+                                  bc=bcn_loc).reshape(-1, c, m // 2)
                     zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1],
                                                    gain_d)
                     return carry + jnp.sum(zdb, axis=0) + jnp.sum(
@@ -292,11 +301,10 @@ def main():
     # at salt=0 must reproduce the unsalted SectorProcessor products;
     # (b) a salted step must sit within the documented cancellation
     # residual (DESIGN.md section 4: ~1e-5 relative).  Without this the
-    # timed kernel was only ever checked for finiteness. ---
-    def _rel(a, b):
-        fin = np.isfinite(a) & np.isfinite(b)
-        return float(np.linalg.norm(a[fin] - b[fin])
-                     / max(np.linalg.norm(a[fin]), 1e-30))
+    # timed kernel was only ever checked for finiteness.  One metric
+    # everywhere: the reference's own relative-L2 (error.cpp via
+    # oracle.relative_l2), not a hand-rolled copy that could drift. ---
+    from wrp_tpu.oracle import relative_l2 as _rel
 
     sharded_parity = {}
     if args.method == "pallas" and args.sharded:

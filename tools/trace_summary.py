@@ -89,10 +89,17 @@ def main():
     if not paths:
         print(f"no trace files under {args.trace_dir}", file=sys.stderr)
         return 1
-    events = []
+    # Summarise each trace file independently and merge under
+    # file-qualified process names: per-host trace files reuse the same
+    # pids and have unsynchronised clocks, so concatenating their event
+    # lists would sum distinct processes' op totals and corrupt spans.
+    summary = {}
     for p in paths:
-        events.extend(load_events(p))
-    summary = summarise(events, args.top)
+        per_file = summarise(load_events(p), args.top)
+        prefix = "" if len(paths) == 1 else (
+            os.path.basename(p).split(".")[0] + ":")
+        for proc, info in per_file.items():
+            summary[prefix + proc] = info
     if args.json:
         print(json.dumps(summary))
         return 0

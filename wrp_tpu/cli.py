@@ -219,6 +219,12 @@ def cmd_stream(args):
 
     signal.signal(signal.SIGTERM, _sigterm)
     cfg = DEFAULT_CONFIG
+    if args.feed_port and args.transport != "udp":
+        # refuse rather than silently ignoring the user's feed list and
+        # listening on a single default port (data loss, no diagnostic)
+        print("--feed-port is only implemented for --transport udp",
+              file=sys.stderr)
+        return 2
     if args.transport == "udp":
         from .io.udp import UdpIngest, UdpEgress
 

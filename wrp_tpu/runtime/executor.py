@@ -459,12 +459,17 @@ class StreamingExecutor:
                 self._stall_watch("collective dispatch"):
             try:
                 zdb, zdr = self.processor(planar)
-            except Exception as e:
+            except Exception:
                 # a dead peer may surface as a backend error (connection
-                # reset) instead of an infinite block — same bounded exit
+                # reset) instead of an infinite block — same bounded exit.
+                # The full traceback is logged first: the error may just
+                # as well be LOCAL (OOM, shape bug), and an operator
+                # restarting per the dead-peer guidance needs to see it.
                 if self.lockstep and self.collective_timeout_s is not None:
-                    log.error("collective dispatch raised: %s", e)
-                    self._collective_abort("dispatch (peer failure)", 0.0)
+                    log.exception(
+                        "collective dispatch raised (may be a dead peer "
+                        "OR a local error — see traceback)")
+                    self._collective_abort("dispatch (exception)", 0.0)
                 raise
         return tasks, zdb, zdr
 
@@ -478,11 +483,12 @@ class StreamingExecutor:
             try:
                 zdb = np.asarray(zdb)[: len(tasks)]
                 zdr = np.asarray(zdr)[: len(tasks)]
-            except Exception as e:
+            except Exception:
                 if self.lockstep and self.collective_timeout_s is not None:
-                    log.error("collective result fetch raised: %s", e)
-                    self._collective_abort("result fetch (peer failure)",
-                                           0.0)
+                    log.exception(
+                        "collective result fetch raised (may be a dead "
+                        "peer OR a local error — see traceback)")
+                    self._collective_abort("result fetch (exception)", 0.0)
                 raise
         if self.debug_sync:
             # rpv2's gpuErrchk-after-every-launch as a flag, not a hardcode
