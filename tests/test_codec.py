@@ -205,9 +205,19 @@ def test_wire_parsers_fuzz_clean_failures():
                 lambda b: codec.decode_iq_i16(b, cfg),
                 frames.unpack_result_v1,
                 frames.unpack_result_v2,
+                frames.unpack_result_udp,
                 frames.try_unpack_ingest_row,
             ):
                 try:
                     parse(buf)
                 except ok_types:
                     pass
+    # a buffer that happens to start with the v1x magic but is truncated
+    # must also fail cleanly, not mis-slice
+    for n in range(0, 8):
+        try:
+            frames.unpack_result_udp(
+                frames.pack_result_v1x(1, 2,
+                                       np.zeros(4, np.float32))[:n])
+        except ok_types:
+            pass
