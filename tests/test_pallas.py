@@ -113,6 +113,33 @@ def test_radix_kernel_layouts_vs_oracle(layout):
         assert oracle.relative_l2(pow64[ch], got[ch]) < 1e-5, (layout, ch)
 
 
+@pytest.mark.parametrize("m,n", [(256, 128), (512, 64)])
+def test_radix_kernel_other_geometries_vs_oracle(m, n):
+    """The radix kernel must stay oracle-correct at geometries between
+    the tiny test size and the production 1024x512 (different M=m/8
+    sub-matmul shapes exercise the chunking/combine paths)."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=m, n=n)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(m)
+    assert radix == 8
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=m)
+    pow64 = oracle.channel_power(iq, cfg)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    order = FC.radix_row_order(m, radix)
+    planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    got = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(planar[:, :, order, :]), jnp.asarray(a_np), fac,
+        jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+        interpret=True))
+    for ch in range(cfg.num_channels):
+        assert oracle.relative_l2(pow64[ch], got[ch]) < 1e-5, (m, n, ch)
+
+
 def test_radix_kernel_layouts_agree():
     """split and kcat compute the same bf16-split arithmetic: outputs on
     identical input must agree to float-add reassociation tolerance."""

@@ -355,7 +355,8 @@ def test_udp_extended_results_reconstruct_multi_elevation_volume(cfg):
     rx_zdr.close()
 
 
-def test_multifeed_consolidation_zero_cross_contamination(cfg):
+@pytest.mark.parametrize("method", ["mxu", "pallas"])
+def test_multifeed_consolidation_zero_cross_contamination(cfg, method):
     """VERDICT r2 item 8 / DESIGN.md section 6 consolidation story: one
     processor multiplexes N radar feeds — per-feed ingest threads,
     per-feed volumes, per-feed stats, one compiled chain.  Both feeds
@@ -371,7 +372,7 @@ def test_multifeed_consolidation_zero_cross_contamination(cfg):
     ingests = [UdpIngest(cfg, port=0, timeout_s=2.0) for _ in range(feeds)]
     vols = [VolumeScan(cfg, None) for _ in range(feeds)]
     ex = StreamingExecutor(cfg, transport=ingests, volume=vols,
-                           batch=2, max_sectors=n_per_feed)
+                           batch=2, max_sectors=n_per_feed, method=method)
     res = []
     runner = threading.Thread(target=lambda: res.append(ex.run()),
                               daemon=True)
