@@ -217,3 +217,35 @@ def test_tcp_result_consumer_short_frame_survives(cfg):
     assert (topic, sector, elevation) == (b"B", 3, 1)
     raw2.close()
     consumer.close()
+
+
+def test_tcp_multifeed_consolidation(cfg):
+    """Multi-feed consolidation over TCP (cli stream --feed-port for the
+    tcp transport): two framed-stream feeds with different data under the
+    same sector labels, per-feed volumes pinned to their own oracles."""
+    from wrp_tpu.runtime import VolumeScan
+
+    n_per_feed = 2
+    data = [_wire_sectors(cfg, n_per_feed, seed=30 + f) for f in range(2)]
+    ingests = [TcpIngest(cfg, port=0, timeout_s=3.0) for _ in range(2)]
+    vols = [VolumeScan(cfg, None) for _ in range(2)]
+    ex = StreamingExecutor(cfg, transport=ingests, volume=vols,
+                           batch=2, max_sectors=n_per_feed)
+    res = []
+    runner = threading.Thread(target=lambda: res.append(ex.run()),
+                              daemon=True)
+    runner.start()
+    producers = [TcpProducer(cfg, port=ing.local_port) for ing in ingests]
+    for k in range(n_per_feed):
+        for f in range(2):
+            producers[f].send_sector(data[f][k][1], sector=k, elevation=0)
+    runner.join(timeout=60)
+    assert res and res[0]["processed_sectors"] == 2 * n_per_feed
+    assert [fs["processed_sectors"] for fs in res[0]["feeds"]] == [2, 2]
+    for f in range(2):
+        for k in range(n_per_feed):
+            assert vols[f].coverage[k, 0]
+            zdb64, _ = oracle.process_sector(data[f][k][0], cfg)
+            assert oracle.relative_l2(zdb64, vols[f].data[0, :, k, 0]) < 1e-4
+    for x in ingests + producers:
+        x.close()

@@ -219,10 +219,12 @@ def cmd_stream(args):
 
     signal.signal(signal.SIGTERM, _sigterm)
     cfg = DEFAULT_CONFIG
-    if args.feed_port and args.transport != "udp":
+    if args.feed_port and args.transport == "zmq":
         # refuse rather than silently ignoring the user's feed list and
-        # listening on a single default port (data loss, no diagnostic)
-        print("--feed-port is only implemented for --transport udp",
+        # listening on one default endpoint (data loss, no diagnostic);
+        # zmq feeds are endpoints, not ports, and a single SUB socket
+        # cannot attribute messages to feeds
+        print("--feed-port supports the udp and tcp transports only",
               file=sys.stderr)
         return 2
     if args.transport == "udp":
@@ -244,8 +246,12 @@ def cmd_stream(args):
     elif args.transport == "tcp":
         from .io.tcp import TcpIngest, TcpEgress
 
-        transport = TcpIngest(cfg, port=args.ingest_port,
-                              timeout_s=args.timeout)
+        if args.feed_port:
+            transport = [TcpIngest(cfg, port=p, timeout_s=args.timeout)
+                         for p in args.feed_port]
+        else:
+            transport = TcpIngest(cfg, port=args.ingest_port,
+                                  timeout_s=args.timeout)
         publish = TcpEgress(cfg, port=args.result_port)
     else:
         from .io.zmq_io import ZmqIngest, ZmqEgress
@@ -597,9 +603,9 @@ def main(argv=None):
     p.add_argument("--ingest-port", type=int, default=None)
     p.add_argument("--feed-port", type=int, action="append", default=None,
                    metavar="PORT",
-                   help="udp transport: repeat to multiplex several radar "
-                        "feeds into one processor (one ingest per port, "
-                        "per-feed stats and checkpoints); overrides "
+                   help="udp/tcp transports: repeat to multiplex several "
+                        "radar feeds into one processor (one ingest per "
+                        "port, per-feed stats and checkpoints); overrides "
                         "--ingest-port")
     p.add_argument("--zdb-port", type=int, default=None)
     p.add_argument("--zdr-port", type=int, default=None)
