@@ -213,11 +213,20 @@ def test_wire_parsers_fuzz_clean_failures():
                 except ok_types:
                     pass
     # a buffer that happens to start with the v1x magic but is truncated
-    # must also fail cleanly, not mis-slice
-    for n in range(0, 8):
+    # must fail cleanly OR parse to a detectably short values array —
+    # never mis-slice into plausible-looking garbage
+    full = frames.pack_result_v1x(1, 2, np.zeros(4, np.float32))
+    for n in range(0, len(full) + 1):
         try:
-            frames.unpack_result_udp(
-                frames.pack_result_v1x(1, 2,
-                                       np.zeros(4, np.float32))[:n])
+            got = frames.unpack_result_udp(full[:n])
         except ok_types:
-            pass
+            continue
+        sector, elev, values = got
+        if elev is not None:                  # parsed as v1x
+            assert (sector, elev) == (1, 2)
+            assert len(values) == (n - 6) // 4  # truncation is visible
+        else:                                 # too short for the magic:
+            assert n < 6                      # fell back to v1 parsing
+    # the downstream consumer rejects any wrong-length values array
+    sector, elev, values = frames.unpack_result_udp(full[:10])
+    assert len(values) == 1 != 4

@@ -227,31 +227,29 @@ def cmd_stream(args):
         print("--feed-port supports the udp and tcp transports only",
               file=sys.stderr)
         return 2
+    def make_ingest(ingest_cls):
+        # multi-feed consolidation: one ingest per --feed-port, one
+        # SHARED egress (result frames carry only sector/elevation, so a
+        # merged wire is ambiguous across feeds — the per-feed
+        # checkpoints are the authoritative volumes); single ingest on
+        # --ingest-port otherwise
+        if args.feed_port:
+            return [ingest_cls(cfg, port=p, timeout_s=args.timeout)
+                    for p in args.feed_port]
+        return ingest_cls(cfg, port=args.ingest_port,
+                          timeout_s=args.timeout)
+
     if args.transport == "udp":
         from .io.udp import UdpIngest, UdpEgress
 
-        if args.feed_port:
-            # multi-feed consolidation: one ingest per port, one shared
-            # egress (frames carry sector/elevation, so a merged wire is
-            # only unambiguous per feed — use per-feed checkpoints for
-            # the authoritative volumes)
-            transport = [UdpIngest(cfg, port=p, timeout_s=args.timeout)
-                         for p in args.feed_port]
-        else:
-            transport = UdpIngest(cfg, port=args.ingest_port,
-                                  timeout_s=args.timeout)
+        transport = make_ingest(UdpIngest)
         publish = UdpEgress(cfg, zdb_port=args.zdb_port,
                             zdr_port=args.zdr_port,
                             extended=args.extended_results)
     elif args.transport == "tcp":
         from .io.tcp import TcpIngest, TcpEgress
 
-        if args.feed_port:
-            transport = [TcpIngest(cfg, port=p, timeout_s=args.timeout)
-                         for p in args.feed_port]
-        else:
-            transport = TcpIngest(cfg, port=args.ingest_port,
-                                  timeout_s=args.timeout)
+        transport = make_ingest(TcpIngest)
         publish = TcpEgress(cfg, port=args.result_port)
     else:
         from .io.zmq_io import ZmqIngest, ZmqEgress
