@@ -72,6 +72,60 @@ def test_udp_extended_headers_and_reorder(cfg, native):
 
 
 @pytest.mark.parametrize("native", [False, True])
+def test_udp_oversized_datagram_rejected_not_truncated(cfg, native):
+    """A datagram larger than a row (wrong-geometry producer, corrupt
+    length) must be DROPPED, not kernel-truncated to exactly row_bytes
+    and accepted as a valid row — the silent-corruption mode the module
+    exists to prevent.  Both paths must agree (the Python path used a
+    right-sized scratch buffer that made recv_into truncate)."""
+    ingest = UdpIngest(cfg, port=0, timeout_s=0.5, native=native)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    (_, wire), = _wire_sectors(cfg, 1)
+    rb = cfg.datagram_nbytes
+    m = cfg.num_range_cells
+    # row 0 arrives oversized (extra trailing bytes), then the full
+    # sector arrives correctly: the oversized datagram must count as a
+    # drop and the clean sector must still complete with correct bytes
+    sock.sendto(wire[:rb] + b"XTRA", ("127.0.0.1", ingest.local_port))
+    for row in range(m):
+        sock.sendto(frames.pack_ingest_row(
+            frames.IngestHeader(3, 1, row), wire[row * rb:(row + 1) * rb]),
+            ("127.0.0.1", ingest.local_port))
+    buf, header = ingest.recv_sector()
+    assert bytes(buf) == wire
+    assert (header.sector, header.elevation) == (3, 1)
+    assert ingest.stats.dropped_datagrams >= 1
+    ingest.close()
+    sock.close()
+
+
+def test_throughput_rate_prunes_stale_events():
+    """rate() after an idle gap longer than the window must report ~0,
+    not replay the last burst (pruning used to happen only in tick())."""
+    from wrp_tpu.runtime.metrics import Throughput
+
+    tp = Throughput(window=0.05)
+    tp.tick(1000)
+    import time as _t
+
+    _t.sleep(0.12)
+    assert tp.rate() == 0.0
+    assert tp.count == 1000        # the overall counter is untouched
+
+
+def test_executor_empty_publish_list_means_no_publish(cfg):
+    """publish=[] must behave like publish=None (no egress), not crash
+    the first completed batch with an IndexError."""
+    ex = StreamingExecutor(cfg, transport=None, publish=[], batch=1)
+    c, m, n = cfg.sector_shape
+    from wrp_tpu.runtime.executor import SectorTask
+
+    done = ex._process_batch(
+        [SectorTask(np.zeros((c, 2, m, n), np.float32), 0, 0)])
+    assert done == 1
+
+
+@pytest.mark.parametrize("native", [False, True])
 def test_udp_timeout_returns_idle(cfg, native):
     ingest = UdpIngest(cfg, port=0, timeout_s=0.05, native=native)
     buf, header = ingest.recv_sector()

@@ -183,20 +183,36 @@ class TcpEgress:
     die because a visualiser restarted."""
 
     def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
-                 host: str = "127.0.0.1", port: int | None = None):
+                 host: str = "127.0.0.1", port: int | None = None,
+                 reconnect_backoff_s: float = 5.0):
+        """reconnect_backoff_s: after a FAILED connect attempt, skip
+        further attempts for this long.  A down collector whose connect
+        must time out (firewalled, routed-but-dead host) would otherwise
+        stall the compute thread's publish epilogue 2 s per sector —
+        long enough to overflow the ingest queue and turn a visualiser
+        outage into processor drops."""
+        import time as _time
+
         self.cfg = cfg
         self.addr = (host, port if port is not None else cfg.tcp_result_port)
         self._sock: Optional[socket.socket] = None
+        self._backoff_s = reconnect_backoff_s
+        self._next_attempt = 0.0
+        self._time = _time
 
     def _ensure(self) -> bool:
         if self._sock is not None:
             return True
+        now = self._time.monotonic()
+        if now < self._next_attempt:
+            return False
         try:
             self._sock = socket.create_connection(self.addr, timeout=2.0)
             self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             return True
         except OSError:
             self._sock = None
+            self._next_attempt = self._time.monotonic() + self._backoff_s
             return False
 
     def send(self, sector: int, elevation: int, zdb: np.ndarray,

@@ -60,10 +60,12 @@ class UdpIngest:
             pass
         # Linux silently clamps SO_RCVBUF to net.core.rmem_max; an
         # undersized buffer is the reference's silent datagram-loss mode,
-        # so make the clamp visible (getsockopt reports 2x the effective
-        # size).
+        # so make the clamp visible.  getsockopt reports 2x the effective
+        # size, so the un-clamped reading would be 2x the request —
+        # comparing against the raw request would miss clamps between
+        # half and the full request.
         got = self._sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
-        if got < rcvbuf_bytes:
+        if got < 2 * rcvbuf_bytes:
             log.warning(
                 "UDP receive buffer clamped to %.1f MB (requested %.0f MB);"
                 " raise net.core.rmem_max to avoid burst drops",
@@ -89,8 +91,14 @@ class UdpIngest:
             self._nhdr = np.zeros(3, np.int32)
         else:
             self._sock.settimeout(timeout_s)
-        # room for an extended header in front of a row payload
-        self._scratch = bytearray(self._row_bytes + frames.IngestHeader.SIZE)
+        # Full-datagram scratch (matches the native path's 64 KiB): a
+        # right-sized buffer would make recv_into silently TRUNCATE an
+        # oversized datagram (wrong-geometry producer, corrupt length)
+        # to exactly row_bytes of payload and accept it as a valid row —
+        # the silent-corruption mode this module exists to prevent.
+        # Oversized rows must instead fail the length check and count
+        # as dropped datagrams.
+        self._scratch = bytearray(65536)
 
     @property
     def local_port(self) -> int:

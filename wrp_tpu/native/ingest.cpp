@@ -62,7 +62,12 @@ int32_t wrp_udp_recv_sector(int32_t fd, int32_t timeout_ms, uint8_t *out,
   while (got < rows) {
     ssize_t nb = recv(fd, scratch, sizeof(scratch), 0);
     if (nb < 0) {
-      if (errno == EAGAIN || errno == EWOULDBLOCK || errno == EINTR) {
+      if (errno == EINTR) continue;  // signal delivery is not a timeout:
+                                     // retry like Python's PEP-475 recv
+                                     // (dropping a 500-row partial sector
+                                     // on a stray SIGCHLD would be data
+                                     // loss with no network cause)
+      if (errno == EAGAIN || errno == EWOULDBLOCK) {
         stats[3] += 1;
         if (got == 0) return 0;
         stats[2] += 1;

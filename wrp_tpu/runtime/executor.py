@@ -194,9 +194,12 @@ class StreamingExecutor:
         self.publishes = (list(publish)
                           if isinstance(publish, (list, tuple))
                           else [publish] * max(1, len(self.transports)))
-        if len(self.publishes) not in (0, max(1, len(self.transports))):
+        if not self.publishes:       # [] means publish nowhere, like None
+            self.publishes = [None] * max(1, len(self.transports))
+        if len(self.publishes) != max(1, len(self.transports)):
             raise ValueError("publish list must match the transport list")
-        self.publish = self.publishes[0] if self.publishes else None
+        self.publish = self.publishes[0]
+        self._pub_v2: dict = {}      # feed -> send() takes elevation?
         self.batch = batch
         self.debug_sync = debug_sync
         self.max_sectors = max_sectors
@@ -325,6 +328,12 @@ class StreamingExecutor:
                 self._advance(feed)
                 received += 1
         except BaseException as e:  # surface into run()
+            # Log NOW, not just at run() exit: in multi-feed mode the
+            # other feeds keep streaming after this one dies, so a
+            # silent store would make a dead feed indistinguishable
+            # from clean EOF until the whole service stops.
+            log.exception("ingest feed %d died; its stream ends here "
+                          "(other feeds continue)", feed)
             self._ingest_error = e
         finally:
             # The EOF sentinel must not be lost: a full queue here usually
@@ -583,9 +592,31 @@ class StreamingExecutor:
         if callable(pub) and not hasattr(pub, "send"):
             pub(t.sector, t.elevation, zdb, zdr)
             return
-        try:
+        v2 = self._pub_v2.get(t.feed)
+        if v2 is None:
+            # Detect the egress arity ONCE by signature (v2 egress takes
+            # (sector, elevation, zdb, zdr); v1 takes (sector, zdb,
+            # zdr)).  A call-and-catch-TypeError probe would misread a
+            # genuine TypeError raised INSIDE a v2 send as a signature
+            # mismatch and re-invoke it with the v1 binding (the zdb
+            # array landing in the elevation slot) — and would pay a
+            # raised exception per sector on every v1 egress.
+            import inspect
+
+            try:
+                v2 = len(inspect.signature(pub.send).parameters) >= 4
+                self._pub_v2[t.feed] = v2
+            except (TypeError, ValueError):   # unintrospectable send:
+                try:                          # probe ONCE by call
+                    pub.send(t.sector, t.elevation, zdb, zdr)
+                    self._pub_v2[t.feed] = True
+                except TypeError:
+                    pub.send(t.sector, zdb, zdr)
+                    self._pub_v2[t.feed] = False
+                return
+        if v2:
             pub.send(t.sector, t.elevation, zdb, zdr)   # v2 signature
-        except TypeError:
+        else:
             pub.send(t.sector, zdb, zdr)                # v1 signature
 
     # ------------------------------------------------------------------

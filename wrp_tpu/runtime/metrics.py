@@ -46,11 +46,19 @@ class _JsonFormatter(logging.Formatter):
 
 
 class StageTimers:
-    """Named accumulating wall-clock timers (the tick/tock ledger)."""
+    """Named accumulating wall-clock timers (the tick/tock ledger).
+
+    Thread-safe: the ingest thread(s) and the compute thread update the
+    same ledger concurrently (multi-feed mode has several ingest
+    threads hitting the same keys), and `x += dt` on a dict entry is
+    not atomic under the GIL."""
 
     def __init__(self):
+        import threading
+
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def time(self, name: str):
@@ -59,8 +67,9 @@ class StageTimers:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
@@ -92,9 +101,15 @@ class Throughput:
             self._events.pop(0)
 
     def rate(self) -> float:
+        # prune here too: without it, a burst followed by an idle gap
+        # longer than the window would still be reported as the
+        # "current" rate by any caller that didn't just tick()
+        now = time.perf_counter()
+        cutoff = now - self.window
+        while self._events and self._events[0][0] < cutoff:
+            self._events.pop(0)
         if not self._events:
             return 0.0
-        now = time.perf_counter()
         span = max(now - max(self._events[0][0], now - self.window), 1e-9)
         return sum(n for _, n in self._events) / span
 
