@@ -71,3 +71,51 @@ def test_decode_throughput_floor(rng):
         native.decode_iq(wire, cfg.m, cfg.n, 3)
     rate = k / (time.perf_counter() - t0)
     assert rate > 50, f"native decode too slow: {rate:.1f} sectors/s"
+
+
+def test_native_decode_rejects_bad_out_arrays():
+    """A caller-supplied out array with wrong dtype/shape or a
+    non-contiguous view must raise, not silently corrupt memory through
+    the raw pointer (the numpy fallback tolerates those via np.copyto,
+    so the native path has to check)."""
+    import pytest
+
+    native = pytest.importorskip("wrp_tpu.native.codec_native")
+    m, n, ch = 8, 4, 3
+    wire = bytes(m * n * ch * 4)
+    with pytest.raises(ValueError):
+        native.decode_iq(wire, m, n, ch,
+                         out=np.empty((ch, 2, m, n), np.int16))
+    with pytest.raises(ValueError):
+        native.decode_iq(wire, m, n, ch,
+                         out=np.empty((ch, 2, m, 2 * n), np.float32)[..., ::2])
+    with pytest.raises(ValueError):
+        native.decode_iq_i16(wire, m, n, ch,
+                             out=np.empty((ch, 2, m + 1, n), np.int16))
+    with pytest.raises(ValueError):
+        native.decode_iq_i16(wire, m, n, ch, radix=3)  # 3 does not divide 8
+
+
+def test_native_encoder_matches_numpy_encoder_rounding():
+    """Both encoders must emit identical wire bytes, including for
+    values that expose rounding differences (the native path used to
+    truncate toward zero where numpy rounds)."""
+    import pytest
+
+    native = pytest.importorskip("wrp_tpu.native.codec_native")
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+
+    cfg = tiny_config(m=4, n=4)
+    rng = np.random.default_rng(0)
+    iq = (rng.integers(-8000, 8000, cfg.sector_shape)
+          + 1j * rng.integers(-8000, 8000, cfg.sector_shape)).astype(
+        np.complex128)
+    # adversarial values: .5 halves (round-half-even), negatives near 0
+    iq[0, 0, 0] = 99.5 - 0.5j
+    iq[0, 0, 1] = -100.5 + 2.5j
+    iq[0, 0, 2] = -0.4 + 0.4j
+    py_wire = codec.encode_iq(iq, cfg)
+    planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    nat_wire = native.encode_iq(planar)
+    assert nat_wire == py_wire

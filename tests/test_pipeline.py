@@ -194,3 +194,57 @@ def test_geometry_sweep_all_methods(m, n, channels):
         assert err < 2e-4, (method, m, n, channels, err)
         err_zdr = oracle.relative_l2(zdr64, np.asarray(zdr)[0])
         assert err_zdr < 5e-4, ("zdr", method, m, n, channels, err_zdr)
+
+
+def test_matched_filter_validation_and_unsupported_combos():
+    """Unknown or unsupported matched_filter values must raise at
+    construction, never silently run a different formulation."""
+    import pytest
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.pipeline import SectorProcessor
+
+    cfg = tiny_config(m=32, n=16)
+    with pytest.raises(ValueError):
+        SectorProcessor(cfg, method="mxu", matched_filter="folded")  # typo
+    with pytest.raises(ValueError):
+        SectorProcessor(cfg, method="pallas", matched_filter="spectral")
+    with pytest.raises(ValueError):
+        SectorProcessor(cfg, method="radix", matched_filter="spectral")
+
+
+def test_unbatched_planar_input_consistent_across_methods():
+    """A single decoded sector [C, 2, m, n] (no batch axis) must work on
+    every method and give the same answer as the batched call — the
+    pallas/radix paths used to crash unpacking a missing batch dim."""
+    import numpy as np
+
+    from wrp_tpu import oracle
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.pipeline import SectorProcessor, to_planar
+
+    cfg = tiny_config(m=32, n=16)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=7)
+    planar = to_planar(np.asarray(iq, np.complex64))
+    for method in ("mxu", "pallas"):
+        proc = SectorProcessor(cfg, method=method)
+        zdb_b, _ = proc(planar[None])
+        zdb_u, _ = proc(planar)
+        np.testing.assert_array_equal(np.asarray(zdb_b)[0],
+                                      np.asarray(zdb_u))
+
+
+def test_relative_l2_all_nonfinite_is_a_failure():
+    """An all-NaN actual must FAIL the metric (inf), not vacuously pass
+    with 0.0 — cli compare and every parity gate rely on this."""
+    import numpy as np
+
+    from wrp_tpu import oracle
+
+    e = np.linspace(1, 10, 16)
+    assert oracle.relative_l2(e, np.full(16, np.nan)) == np.inf
+    assert oracle.relative_l2(np.array([]), np.array([])) == 0.0
+    # arrays with SOME mutually finite entries keep the usual semantics
+    a = e.copy()
+    a[0] = np.nan
+    assert oracle.relative_l2(e, a) == 0.0

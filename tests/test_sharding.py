@@ -141,3 +141,19 @@ def test_halo_matched_filter_processor():
     for k in range(4):
         zdb64, _ = oracle.process_sector(iq[k], cfg)
         assert oracle.relative_l2(zdb64, zdb[k]) < 1e-4
+
+
+def test_halo_rejects_shards_smaller_than_filter_overlap():
+    """n_loc < ma_count-1 would make the one-hop halo silently cover the
+    wrong pulse columns (shapes still line up because the pulse axis is
+    summed away) — must raise instead."""
+    import pytest
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.parallel import make_mesh
+    from wrp_tpu.parallel.halo import build_halo_processor
+
+    cfg = tiny_config(m=32, n=32)
+    mesh = make_mesh(data=1, seq=8)      # n_loc = 4 < 6 taps-1
+    with pytest.raises(ValueError, match="overlap"):
+        build_halo_processor(cfg, mesh)

@@ -66,6 +66,47 @@ def main():
             "zdr_rel_l2": float(f"{er:.3e}"),
             "pass": passed,
         }))
+
+    # Adversarial clip-bin case (round 3): Doppler energy concentrated
+    # in the CLIPPED bins (pre-shift k = n/2-2) makes the Parseval
+    # subtraction n*sum|q|^2 - |clip|^2 catastrophically cancel, which
+    # is exactly where a bf16-grade phasor dot breaks fp32 accuracy —
+    # the round-3 kernel bug (plain f32 jnp.dot = ONE bf16 MXU pass
+    # under Mosaic) measured 1.5e-4 here before the bf16x3 split fix,
+    # 3.3e-6 after.  Interpret-mode tests cannot see this; only the
+    # compiled path does.
+    from wrp_tpu.constants import hamming_factors
+
+    m, n = cfg.m, cfg.n
+    _, wd, _ = hamming_factors(cfg)
+    j = np.arange(n)
+    k = n // 2 - 2
+    ph0 = rng.uniform(0, 2 * np.pi, (cfg.num_channels, m, 1))
+    base = np.cos(2 * np.pi * k * j / n + ph0) / wd[None, None, :]
+    adv = (6000 * base / np.abs(base).max()
+           + 1j * rng.integers(-50, 50, (cfg.num_channels, m, n)))
+    adv = (np.round(adv.real) + 1j * np.round(adv.imag)).astype(np.complex64)
+    pow64 = oracle.channel_power(adv, cfg)
+    from wrp_tpu.constants import PipelineConstants
+    from wrp_tpu.ops.pallas import fullchain as FC
+    import jax.numpy as jnp
+
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(m)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    order = FC.radix_row_order(m, radix)
+    planar = np.stack([adv.real, adv.imag], 1).astype(np.float32)
+    got = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(planar[:, :, order, :]), jnp.asarray(a_np), fac,
+        jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+        interpret=FC.use_interpret()))
+    ea = oracle.relative_l2(pow64, got)
+    passed = ea < 2e-5
+    ok &= passed
+    print(json.dumps({
+        "method": "pallas/clip-bin-adversarial", "device": str(dev),
+        "pow_rel_l2": float(f"{ea:.3e}"), "pass": passed,
+    }))
     return 0 if ok else 1
 
 

@@ -12,6 +12,8 @@
 //
 // Build: see build.py / Makefile in this directory.  Exposed via ctypes.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -70,12 +72,19 @@ void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
     }
     return;
   }
+  // honour the thread-count knob: round-robin the planes over at most
+  // num_threads workers (one-thread-per-plane would spawn ch*2 threads
+  // no matter what WRP_CODEC_THREADS asked for)
+  const int workers = std::min(num_threads, static_cast<int32_t>(planes));
   std::vector<std::thread> pool;
-  pool.reserve(planes);
-  for (int p = 0; p < planes; ++p) {
-    pool.emplace_back(decode_plane, wire,
-                      out + static_cast<size_t>(p) * samples, samples,
-                      static_cast<size_t>(p) * 2, stride);
+  pool.reserve(workers);
+  for (int w = 0; w < workers; ++w) {
+    pool.emplace_back([=] {
+      for (int p = w; p < planes; p += workers) {
+        decode_plane(wire, out + static_cast<size_t>(p) * samples, samples,
+                     static_cast<size_t>(p) * 2, stride);
+      }
+    });
   }
   for (auto &t : pool) t.join();
 }
@@ -107,13 +116,22 @@ void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
     for (int p = 0; p < planes; ++p) decode(p);
     return;
   }
+  const int workers = std::min(num_threads, static_cast<int32_t>(planes));
   std::vector<std::thread> pool;
-  pool.reserve(planes);
-  for (int p = 0; p < planes; ++p) pool.emplace_back(decode, p);
+  pool.reserve(workers);
+  for (int w = 0; w < workers; ++w) {
+    pool.emplace_back([=] {
+      for (int p = w; p < planes; p += workers) decode(p);
+    });
+  }
   for (auto &t : pool) t.join();
 }
 
 // planar float32 [ch][2][m][n] -> wire BE int16 interleaved (producer side).
+// Rounds to nearest-even like the Python encoder (np.round + astype), and
+// wraps out-of-range values mod 2^16 the same way numpy's astype does —
+// the two encoders must emit identical wire bytes for identical floats
+// (truncation-toward-zero here used to shift LSBs vs the Python path).
 void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
                    int64_t ch) {
   const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
@@ -123,7 +141,11 @@ void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
     const float *src = planar + static_cast<size_t>(p) * samples;
     uint8_t *dst = wire + static_cast<size_t>(p) * 2;
     for (size_t s = 0; s < samples; ++s) {
-      int32_t v = static_cast<int32_t>(src[s]);
+      const float f = src[s];
+      // NaN -> 0 (defined behaviour; inputs are integer-valued by
+      // contract, so this only triggers on corrupt data)
+      const int64_t v64 = (f == f) ? llrintf(f) : 0;
+      const uint16_t v = static_cast<uint16_t>(v64 & 0xffff);
       dst[s * stride] = static_cast<uint8_t>((v >> 8) & 0xff);
       dst[s * stride + 1] = static_cast<uint8_t>(v & 0xff);
     }

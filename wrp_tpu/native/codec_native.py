@@ -44,12 +44,29 @@ def _as_u8(buf) -> np.ndarray:
     return np.frombuffer(buf, np.uint8)
 
 
+def _check_out(out: np.ndarray, shape, dtype) -> np.ndarray:
+    """Validate a caller-supplied output array before handing its raw
+    pointer to C++: a wrong dtype/shape or a non-contiguous view would
+    be silent memory corruption, not an exception (the numpy fallback
+    path accepts those via np.copyto, so the two paths must not
+    diverge by UB)."""
+    if out.shape != tuple(shape) or out.dtype != dtype:
+        raise ValueError(
+            f"out must be {dtype} {tuple(shape)}, got {out.dtype} "
+            f"{out.shape}")
+    if not out.flags.c_contiguous or not out.flags.writeable:
+        raise ValueError("out must be C-contiguous and writeable")
+    return out
+
+
 def decode_iq(wire, m: int, n: int, ch: int,
               out: np.ndarray | None = None,
               num_threads: int = _DEFAULT_THREADS) -> np.ndarray:
     """Wire bytes -> planar float32 [ch, 2, m, n]."""
     if out is None:
         out = np.empty((ch, 2, m, n), np.float32)
+    else:
+        _check_out(out, (ch, 2, m, n), np.float32)
     src = _as_u8(wire)
     # a hard check, not an assert: a short network buffer reaching the
     # native decoder would be an out-of-bounds READ, and asserts vanish
@@ -70,6 +87,11 @@ def decode_iq_i16(wire, m: int, n: int, ch: int,
     radix > 1 writes range rows in radix-DIT order (fused-kernel input)."""
     if out is None:
         out = np.empty((ch, 2, m, n), np.int16)
+    else:
+        _check_out(out, (ch, 2, m, n), np.int16)
+    if radix > 1 and m % radix:
+        raise ValueError(f"radix {radix} must divide m={m} (colliding "
+                         "row offsets otherwise)")
     src = _as_u8(wire)
     if src.size < m * n * ch * 4:   # see decode_iq: OOB-read guard
         raise ValueError(

@@ -118,9 +118,18 @@ def _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
     qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
     s = n * jnp.sum(qr * qr + qi * qi, axis=-1)
+    # Clip-bin phasor dots need the same bf16x3 split as every other
+    # contraction: Mosaic lowers a plain f32 dot as ONE bf16 MXU pass
+    # (~2^-8 relative, probed on hardware), and pow subtracts |clip|^2
+    # from n*sum|q|^2 — comparable magnitudes when the Doppler energy
+    # sits in the clipped bins, so a bf16-grade subtrahend would break
+    # the fp32 accuracy contract exactly there.
     ph = ph_ref[:]
-    dr = dot(qr, ph.T)
-    di = dot(qi, ph.T)
+    phh, phl = _split_bf16(ph)
+    qrh, qrl = _split_bf16(qr)
+    qih, qil = _split_bf16(qi)
+    dr = dot3(qrh, qrl, phh.T, phl.T)
+    di = dot3(qih, qil, phh.T, phl.T)
     for c, sn in ((0, 1), (2, 3)):
         re = dr[:, c] - di[:, sn]
         im = dr[:, sn] + di[:, c]
@@ -485,9 +494,14 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
     qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
     s_ = n * jnp.sum(qr * qr + qi * qi, axis=-1)
+    # bf16x3-split phasor dots — see _kernel's epilogue note (a plain
+    # f32 dot is a single bf16 MXU pass under Mosaic)
     ph = ph_ref[:]
-    dr = dot(qr, ph.T)
-    di = dot(qi, ph.T)
+    phh, phl = _split_bf16(ph)
+    qrh, qrl = _split_bf16(qr)
+    qih, qil = _split_bf16(qi)
+    dr = dot3(qrh, qrl, phh.T, phl.T)
+    di = dot3(qih, qil, phh.T, phl.T)
     for c, sn in ((0, 1), (2, 3)):
         re = dr[:, c] - di[:, sn]
         im = dr[:, sn] + di[:, c]

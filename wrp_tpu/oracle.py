@@ -137,6 +137,12 @@ def relative_l2(expected: np.ndarray, actual: np.ndarray) -> float:
     e = np.asarray(expected, np.float64).ravel()
     a = np.asarray(actual, np.float64).ravel()
     mask = np.isfinite(e) & np.isfinite(a)
+    if e.size and not mask.any():
+        # nothing is mutually comparable (e.g. an all-NaN pipeline
+        # output): that is a FAILURE, not a vacuous pass — returning 0.0
+        # here would let a completely broken result through `cli
+        # compare` and every parity gate built on this metric
+        return float("inf")
     denom = np.sum(e[mask] ** 2)
     if denom == 0.0:
         return float(np.sqrt(np.sum((e[mask] - a[mask]) ** 2)))

@@ -87,6 +87,17 @@ def build_halo_processor(cfg: RadarConfig = DEFAULT_CONFIG,
     if n % seq:
         raise ValueError(f"n={n} must divide by seq={seq}")
     n_loc = n // seq
+    halo_cols = len(PipelineConstants.build(cfg).ma_taps) - 1
+    if seq > 1 and n_loc < halo_cols:
+        # each shard must hold at least the matched filter's overlap:
+        # with n_loc < taps-1 the one-hop ppermute halo cannot supply
+        # all wrapped columns and the conv would SILENTLY cover the
+        # wrong subset (the slices clamp — no shape error downstream
+        # because the pulse axis is summed away)
+        raise ValueError(
+            f"pulse shard n/seq = {n_loc} is smaller than the matched "
+            f"filter overlap ({halo_cols} columns); use seq <= "
+            f"{n // halo_cols} or the transpose formulation")
     consts = PipelineConstants.build(cfg)
 
     def body(iq):

@@ -387,6 +387,8 @@ def _process_planar_jit(iq_planar, hamming, ma_taps_tuple, fft_ma, gain,
         p = stage04_power(x)
     else:
         raise ValueError(f"unknown method {method!r}")
+    if matched_filter not in ("direct", "fold", "spectral"):
+        raise ValueError(f"unknown matched_filter {matched_filter!r}")
     if matched_filter == "direct":
         conv = matched_filter_direct(p, np.asarray(ma_taps_tuple, np.float32))
         pow_all = stage08_pulse_sum(conv)
@@ -447,7 +449,33 @@ class SectorProcessor:
     ):
         """layout="radix" (pallas only): input range rows arrive already in
         radix-DIT order (io/codec.decode_iq_i16(radix=proc.input_radix)),
-        skipping the on-device permutation."""
+        skipping the on-device permutation.
+
+        device: placement for the chain's constants (mxu/radix/fft
+        methods stage them there; inputs follow).  The pallas method's
+        constants are uncommitted, so its compute follows the INPUT's
+        device — callers staging input onto `device` (the executor,
+        bench) get the requested placement either way.
+
+        matched_filter/precision apply to the XLA methods; the fused
+        pallas kernel has its own fixed formulation (direct-equivalent
+        matched filter, bf16x3 splits) and rejects a non-default
+        matched_filter rather than silently ignoring it."""
+        if matched_filter not in ("direct", "fold", "spectral"):
+            raise ValueError(
+                f"unknown matched_filter {matched_filter!r}: use "
+                "'direct', 'fold', or 'spectral'")
+        if method == "pallas" and matched_filter != "direct":
+            raise ValueError(
+                "method='pallas' fuses the whole chain; its output is "
+                "exactly the direct/fold matched-filter result and the "
+                "spectral variant does not exist there — pass "
+                "matched_filter='direct' (the default)")
+        if method == "radix" and matched_filter == "spectral":
+            raise ValueError(
+                "method='radix' implements 'direct' and 'fold' matched "
+                "filters; use method='mxu' or 'fft' for the spectral "
+                "parity path")
         self.cfg = cfg
         self.input_radix = 1
         if method == "pallas":
@@ -556,6 +584,13 @@ class SectorProcessor:
                 f"planar IQ must end in [channels, 2, m, n] = {expect}, "
                 f"got {tuple(iq.shape)}"
             )
+        if self.method in ("pallas", "radix") and iq.ndim == 4:
+            # unbatched single sector: the fused/radix paths unpack an
+            # explicit batch axis (mxu/fft broadcast) — normalise so the
+            # API is consistent across methods
+            fn = self._pallas_fn if self.method == "pallas" else self._radix_fn
+            zdb, zdr = fn(iq[None])
+            return zdb[0], zdr[0]
         if self.method == "pallas":
             return self._pallas_fn(iq)
         if self.method == "radix":
