@@ -28,6 +28,28 @@ assert jax.device_count() == 8, jax.devices()
 REFERENCE = "/root/reference"
 
 
+def cpu_subprocess_env(**extra):
+    """Environment for spawning a CPU-only wrp_tpu subprocess that cannot
+    hang on the TPU tunnel.
+
+    The host environment routes every interpreter through the TPU
+    plugin's sitecustomize (via PYTHONPATH) and pins JAX_PLATFORMS to
+    the TPU backend; when the tunnel is wedged — a recurring condition —
+    that blocks *interpreter startup* indefinitely, long before the
+    subprocess reaches any of our code.  Strip the sitecustomize dir
+    from PYTHONPATH so it never loads, and pin both platform vars to
+    cpu so jax's own env-var precedence (JAX_PLATFORMS wins) cannot
+    resurrect the TPU backend from the inherited value."""
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and ".axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.update(extra)
+    return env
+
+
 @pytest.fixture(scope="session")
 def reference_dir():
     if not os.path.isdir(REFERENCE):

@@ -12,11 +12,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _run_bench(*flags):
-    env = dict(
-        os.environ,
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=8",
-    )
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(
+        XLA_FLAGS="--xla_force_host_platform_device_count=8")
     out = subprocess.run(
         [sys.executable, "bench.py", "--smoke", *flags],
         cwd=REPO, capture_output=True, text=True, timeout=300, env=env)

@@ -473,7 +473,9 @@ def test_sigterm_graceful_shutdown(tmp_path):
     REPO = Path(__file__).resolve().parent.parent
     ready = tmp_path / "ready"
     ckpt = tmp_path / "vol.npz"
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
     proc = subprocess.Popen(
         [sys.executable, "-m", "wrp_tpu.cli", "stream", "--transport",
          "udp", "--ingest-port", "0", "--timeout", "0.5",

@@ -567,7 +567,26 @@ def cmd_consume(args):
     return 0
 
 
+def _honor_platform_env():
+    """Make JAX_PLATFORMS/JAX_PLATFORM_NAME effective under the axon site
+    config.  That config pins ``jax_platforms="axon,cpu"`` via
+    sitecustomize, which OVERRIDES both env vars — so a subprocess asking
+    for CPU still initialises the TPU-tunnel plugin, and a wedged tunnel
+    then blocks backend init forever.  Applying the env request through
+    jax.config before first backend use restores the documented env-var
+    semantics (and costs nothing when no env var is set)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS") or os.environ.get(
+        "JAX_PLATFORM_NAME")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _honor_platform_env()
     ap = argparse.ArgumentParser(prog="wrp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
