@@ -48,6 +48,10 @@ def main():
                          "default = ops.pallas.fullchain.A_LAYOUT; kcat2 "
                          "= two-dot K-concat, 1/3 less stack-copy "
                          "traffic)")
+    ap.add_argument("--clip", default=None, choices=["mxu3", "vpu"],
+                    help="fused-kernel clip-bin formulation (A/B harness; "
+                         "default = ops.pallas.fullchain.CLIP_MODE; vpu = "
+                         "pure-f32 VPU projections, mxu3 = bf16x3 dots)")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -187,14 +191,15 @@ def main():
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bc, salt=salt,
-                    kcat2=kcat2)
+                    kcat2=kcat2, clip=args.clip)
         else:
             a_split = put(FC.split_operator_host(consts.op_a_half))
 
             def power_at(x_all, off, salt, bc=bcn):
                 del salt  # tiny fallback geometries: offsets suffice
                 return FC.fused_chain_power_at(
-                    x_all, off, bc, a_split, wd_d, ph_d, interpret=interp)
+                    x_all, off, bc, a_split, wd_d, ph_d, interpret=interp,
+                    clip=args.clip)
 
         @jax.jit
         def timed_passes(iq_all):
@@ -405,6 +410,7 @@ def main():
         "parity_rel_l2": [round(err0, 9), round(err1, 9)],
         "in_dtype": args.in_dtype,
         "a_layout": args.a_layout,
+        "clip": args.clip,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

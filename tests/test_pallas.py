@@ -162,3 +162,48 @@ def test_radix_kernel_layouts_agree():
             interpret=True, kcat2=(layout == "kcat2")))
     assert oracle.relative_l2(outs["split"], outs["kcat"]) < 1e-6
     assert oracle.relative_l2(outs["split"], outs["kcat2"]) < 1e-6
+
+
+@pytest.mark.parametrize("clip", ["mxu3", "vpu"])
+def test_clip_modes_vs_oracle_adversarial(clip):
+    """Both clip-bin formulations must survive the adversarial case that
+    exposed the round-3 bf16-dot bug: Doppler energy concentrated in the
+    CLIPPED bins makes the Parseval subtraction n*sum|q|^2 - |clip|^2
+    catastrophically cancel, so the subtrahend needs full fp32 accuracy
+    (tools/hw_parity.py carries the compiled-path twin of this test)."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.constants import hamming_factors
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=128, n=64)
+    consts = PipelineConstants.build(cfg)
+    m, n = cfg.m, cfg.n
+    _, wd, _ = hamming_factors(cfg)
+    rng = np.random.default_rng(3)
+    j = np.arange(n)
+    k = n // 2 - 2                      # pre-shift clipped bin
+    ph0 = rng.uniform(0, 2 * np.pi, (cfg.num_channels, m, 1))
+    base = np.cos(2 * np.pi * k * j / n + ph0) / wd[None, None, :]
+    adv = (6000 * base / np.abs(base).max()
+           + 1j * rng.integers(-50, 50, (cfg.num_channels, m, n)))
+    adv = (np.round(adv.real) + 1j * np.round(adv.imag)).astype(np.complex64)
+    pow64 = oracle.channel_power(adv, cfg)
+
+    radix = FC.radix_for(m)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    order = FC.radix_row_order(m, radix)
+    planar = np.stack([adv.real, adv.imag], 1).astype(np.float32)
+    got = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(planar[:, :, order, :]), jnp.asarray(a_np), fac,
+        jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+        interpret=True, clip=clip))
+    assert oracle.relative_l2(pow64, got) < 2e-5, clip
+    # the direct kernel takes the same parameter
+    a_split = jnp.asarray(FC.split_operator_host(consts.op_a_half))
+    got_d = np.asarray(FC.fused_chain_power(
+        jnp.asarray(planar.reshape(-1, 2, m, n)), a_split,
+        jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+        interpret=True, clip=clip)).reshape(cfg.num_channels, -1)
+    assert oracle.relative_l2(pow64, got_d) < 2e-5, clip

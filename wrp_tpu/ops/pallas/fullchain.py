@@ -75,7 +75,54 @@ def split_operator_host(op: np.ndarray) -> np.ndarray:
     return np.stack(planes)
 
 
-def _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
+#: how the kernels compute the clipped Doppler bins' spectral values for
+#: the Parseval subtraction (`_clip_subtract`): "mxu3" uses bf16x3-split
+#: MXU dots (same split discipline as the main contraction); "vpu"
+#: evaluates the 4 phasor projections as pure-f32 elementwise
+#: multiply+lane-reduce on the VPU — exactly fp32 (no splits), and off
+#: the MXU entirely.  Both are golden-validated; pick by hardware A/B.
+CLIP_MODE = "mxu3"
+
+
+def _clip_subtract(s, qr, qi, ph, clip):
+    """Subtract the two clipped Doppler bins' |spectral value|^2 from the
+    Parseval sum `s`.
+
+    qr/qi: [rows, n] f32 windowed mean-free pulses; ph: [4, n] f32 phasor
+    rows (cos1, sin1, cos2, sin2).  The subtrahend is comparable in
+    magnitude to `s` when the Doppler energy sits in the clipped bins, so
+    it must carry full fp32 accuracy: Mosaic lowers a plain f32 jnp.dot
+    as ONE bf16 MXU pass (~2^-8 relative, probed on hardware — the
+    round-3 kernel bug), hence the two modes above, neither of which is a
+    bare dot."""
+    if clip == "vpu":
+        for c, sn in ((0, 1), (2, 3)):
+            re = jnp.sum(qr * ph[c][None, :] - qi * ph[sn][None, :],
+                         axis=-1)
+            im = jnp.sum(qr * ph[sn][None, :] + qi * ph[c][None, :],
+                         axis=-1)
+            s = s - (re * re + im * im)
+        return s
+    if clip != "mxu3":
+        raise ValueError(f"unknown clip mode {clip!r}: use 'mxu3' or 'vpu'")
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    def dot3(ah, al, bh, bl):
+        return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+    phh, phl = _split_bf16(ph)
+    qrh, qrl = _split_bf16(qr)
+    qih, qil = _split_bf16(qi)
+    dr = dot3(qrh, qrl, phh.T, phl.T)
+    di = dot3(qih, qil, phh.T, phl.T)
+    for c, sn in ((0, 1), (2, 3)):
+        re = dr[:, c] - di[:, sn]
+        im = dr[:, sn] + di[:, c]
+        s = s - (re * re + im * im)
+    return s
+
+
+def _kernel(n, chunks, clip, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     """One channel-sector grid step.
 
     x_ref:  [1, 2, m, n] f32/int16  planar IQ
@@ -118,23 +165,7 @@ def _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
     qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
     s = n * jnp.sum(qr * qr + qi * qi, axis=-1)
-    # Clip-bin phasor dots need the same bf16x3 split as every other
-    # contraction: Mosaic lowers a plain f32 dot as ONE bf16 MXU pass
-    # (~2^-8 relative, probed on hardware), and pow subtracts |clip|^2
-    # from n*sum|q|^2 — comparable magnitudes when the Doppler energy
-    # sits in the clipped bins, so a bf16-grade subtrahend would break
-    # the fp32 accuracy contract exactly there.
-    ph = ph_ref[:]
-    phh, phl = _split_bf16(ph)
-    qrh, qrl = _split_bf16(qr)
-    qih, qil = _split_bf16(qi)
-    dr = dot3(qrh, qrl, phh.T, phl.T)
-    di = dot3(qih, qil, phh.T, phl.T)
-    for c, sn in ((0, 1), (2, 3)):
-        re = dr[:, c] - di[:, sn]
-        im = dr[:, sn] + di[:, c]
-        s = s - (re * re + im * im)
-    pow_ref[0, 0, :] = s
+    pow_ref[0, 0, :] = _clip_subtract(s, qr, qi, ph_ref[:], clip)
 
 
 def _chunks_for(m: int) -> int:
@@ -148,7 +179,8 @@ def _chunks_for(m: int) -> int:
 
 def fused_chain_power(x_planar: jax.Array, a_split: jax.Array,
                       wd: jax.Array, phasors: jax.Array,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      clip: str | None = None) -> jax.Array:
     """Planar IQ [bc, 2, m, n] f32/int16 -> matched-filter power [bc, m/2].
 
     a_split: [6, m/2, m] bf16 from split_operator_host.
@@ -157,7 +189,8 @@ def fused_chain_power(x_planar: jax.Array, a_split: jax.Array,
     bc, two, m, n = x_planar.shape
     assert two == 2, x_planar.shape
     mh = a_split.shape[1]
-    kernel = functools.partial(_kernel, float(n), _chunks_for(m))
+    kernel = functools.partial(_kernel, float(n), _chunks_for(m),
+                               clip or CLIP_MODE)
     return pl.pallas_call(
         kernel,
         grid=(bc,),
@@ -187,16 +220,18 @@ def fused_chain_power(x_planar: jax.Array, a_split: jax.Array,
     )(x_planar, a_split, wd.reshape(1, n), phasors)[:, 0, :]
 
 
-def _kernel_offset(n, chunks, s_ref, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
+def _kernel_offset(n, chunks, clip, s_ref, x_ref, a_ref, wd_ref, ph_ref,
+                   pow_ref):
     """Scalar-prefetch variant: s_ref[0] is a bc-offset into the staged
     input; the block index map applies it, the body is identical."""
-    _kernel(n, chunks, x_ref, a_ref, wd_ref, ph_ref, pow_ref)
+    _kernel(n, chunks, clip, x_ref, a_ref, wd_ref, ph_ref, pow_ref)
 
 
 def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
                          bc: int, a_split: jax.Array,
                          wd: jax.Array, phasors: jax.Array,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         clip: str | None = None) -> jax.Array:
     """Like fused_chain_power, but reads `bc` channel-sectors starting at
     row `offset` (int32, in bc units) of the staged x_all [BC_total, 2, m,
     n] — no host-side slice, no copy: the offset feeds the block index map
@@ -211,8 +246,10 @@ def fused_chain_power_at(x_all: jax.Array, offset: jax.Array,
         # into index maps; a plain dynamic_slice is fine there.
         x = jax.lax.dynamic_slice(
             x_all, (offset, 0, 0, 0), (bc, two, m, n))
-        return fused_chain_power(x, a_split, wd, phasors, interpret=True)
-    kernel = functools.partial(_kernel_offset, float(n), _chunks_for(m))
+        return fused_chain_power(x, a_split, wd, phasors, interpret=True,
+                                 clip=clip)
+    kernel = functools.partial(_kernel_offset, float(n), _chunks_for(m),
+                               clip or CLIP_MODE)
     # Index maps receive (grid indices..., scalar-prefetch refs): the
     # offset ref arrives LAST, as a (1,)-shaped SMEM ref.
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -414,7 +451,7 @@ def _combine_radix4(G):
 
 
 def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=None, kcat2=False):
+                  pow_ref, salt=None, kcat2=False, clip=CLIP_MODE):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
@@ -494,26 +531,14 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
     qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
     s_ = n * jnp.sum(qr * qr + qi * qi, axis=-1)
-    # bf16x3-split phasor dots — see _kernel's epilogue note (a plain
-    # f32 dot is a single bf16 MXU pass under Mosaic)
-    ph = ph_ref[:]
-    phh, phl = _split_bf16(ph)
-    qrh, qrl = _split_bf16(qr)
-    qih, qil = _split_bf16(qi)
-    dr = dot3(qrh, qrl, phh.T, phl.T)
-    di = dot3(qih, qil, phh.T, phl.T)
-    for c, sn in ((0, 1), (2, 3)):
-        re = dr[:, c] - di[:, sn]
-        im = dr[:, sn] + di[:, c]
-        s_ = s_ - (re * re + im * im)
-    pow_ref[0, 0, :] = s_
+    pow_ref[0, 0, :] = _clip_subtract(s_, qr, qi, ph_ref[:], clip)
 
 
-def _kernel_radix_offset(n, radix, fac, salted, kcat2, s_ref, x_ref, a_ref,
-                         wd_ref, ph_ref, pow_ref):
+def _kernel_radix_offset(n, radix, fac, salted, kcat2, clip, s_ref, x_ref,
+                         a_ref, wd_ref, ph_ref, pow_ref):
     salt = s_ref[1].astype(jnp.float32) if salted else None
     _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=salt, kcat2=kcat2)
+                  pow_ref, salt=salt, kcat2=kcat2, clip=clip)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
@@ -521,14 +546,18 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
                             phasors: jax.Array,
                             interpret: bool = False,
                             offset=None, bc: int | None = None,
-                            salt=None, kcat2: bool = False) -> jax.Array:
+                            salt=None, kcat2: bool = False,
+                            clip: str | None = None) -> jax.Array:
     """Radix kernel entry: x_r [bc, 2, m, n] with rows in radix order.
 
     With offset/bc set, reads a slab of a larger staged array via scalar
     prefetch (the honest-benchmark path, see fused_chain_power_at); salt
     (int32 scalar) additionally makes each call's computation unique —
     see _kernel_radix.  salt is ignored in interpret mode.  kcat2 picks
-    the two-dot K-concat pattern (same operand array as kcat)."""
+    the two-dot K-concat pattern (same operand array as kcat); clip
+    selects the clip-bin formulation (default CLIP_MODE, see
+    _clip_subtract)."""
+    clip = clip or CLIP_MODE
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
@@ -541,7 +570,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     if offset is None:
         bc = x_r.shape[0]
         kernel = functools.partial(_kernel_radix, float(n), radix, fac,
-                                   kcat2=kcat2)
+                                   kcat2=kcat2, clip=clip)
         in_specs = [
             pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -564,7 +593,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         )(x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
     kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
-                               salt is not None, kcat2)
+                               salt is not None, kcat2, clip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bc,),
