@@ -61,7 +61,10 @@ def test_native_decode_into_preallocated(rng):
 
 def test_decode_throughput_floor(rng):
     """The decode must sustain well beyond the radar's real-time rate
-    (~21.5 sectors/s, SURVEY.md section 6)."""
+    (~21.5 sectors/s, SURVEY.md section 6).  The floor also pins the
+    round-3 single-pass SIMD rewrite: the old per-plane decoder measured
+    ~450 sectors/s on the dev box, the rewrite ~1100-1550 — a regression
+    back to multi-pass territory must fail even under heavy CI load."""
     cfg = DEFAULT_CONFIG
     wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
     native.decode_iq(wire, cfg.m, cfg.n, 3)  # warm
@@ -70,7 +73,7 @@ def test_decode_throughput_floor(rng):
     for _ in range(k):
         native.decode_iq(wire, cfg.m, cfg.n, 3)
     rate = k / (time.perf_counter() - t0)
-    assert rate > 50, f"native decode too slow: {rate:.1f} sectors/s"
+    assert rate > 600, f"native decode too slow: {rate:.1f} sectors/s"
 
 
 def test_native_decode_rejects_bad_out_arrays():
@@ -119,3 +122,36 @@ def test_native_encoder_matches_numpy_encoder_rounding():
     planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
     nat_wire = native.encode_iq(planar)
     assert nat_wire == py_wire
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3])
+@pytest.mark.parametrize("n", [8, 10, 7])      # 4-sample blocks + tails
+@pytest.mark.parametrize("dtype", ["f32", "i16"])
+def test_native_decode_simd_paths_and_tails(ch, n, dtype, rng):
+    """The single-pass decoder's pshufb fast paths (ch=2 and ch=3), the
+    scalar fallback (other ch), and the n % 4 tail samples must all agree
+    bit-exactly with the numpy layout transform."""
+    m = 16
+    wire = bytes(rng.integers(0, 256, m * n * ch * 4, np.uint8))
+    want = np.ascontiguousarray(
+        np.frombuffer(wire, ">i2").reshape(m, n, ch, 2).transpose(2, 3, 0, 1))
+    if dtype == "f32":
+        got = native.decode_iq(wire, m, n, ch)
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+    else:
+        got = native.decode_iq_i16(wire, m, n, ch)
+        np.testing.assert_array_equal(got, want.astype(np.int16))
+
+
+@pytest.mark.parametrize("ch", [2, 3])
+@pytest.mark.parametrize("radix", [4, 8])
+def test_native_decode_radix_order_matches_permutation(ch, radix, rng):
+    """radix>1 must equal the natural-order decode with the kernel's row
+    permutation applied — for every SIMD/scalar path."""
+    from wrp_tpu.ops.pallas.fullchain import radix_row_order
+
+    m, n = 32, 12
+    wire = bytes(rng.integers(0, 256, m * n * ch * 4, np.uint8))
+    nat = native.decode_iq_i16(wire, m, n, ch)
+    got = native.decode_iq_i16(wire, m, n, ch, radix=radix)
+    np.testing.assert_array_equal(got, nat[:, :, radix_row_order(m, radix), :])

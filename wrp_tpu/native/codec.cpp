@@ -3,12 +3,24 @@
 // The reference spent most of its per-sector host time in
 // Sector::fromByteArray + the repack loop (rpv2.cu:350-387 measures it as
 // "deserialize"/"restructuring"; SURVEY.md section 6 shows host input
-// dominated every GPU variant).  This is the same transform, vectorisable
-// and parallelised over channel/part planes:
+// dominated every GPU variant).  This is the same transform, vectorised
+// and parallelised:
 //
 //   wire:   m*n samples x [hhI hhQ vvI vvQ vhI vhQ], int16 big-endian
 //           (sector.cpp:52-62, read_single.cc:15)
-//   planar: float32 [channels][2][m][n]  (the device-facing layout)
+//   planar: float32/int16 [channels][2][m][n]  (the device-facing layout)
+//
+// Design (round 3 rewrite): ONE pass over the wire.  The original decoder
+// walked the wire once per plane (6 strided passes for 3 channels), so
+// every cacheline was fetched from DRAM up to 6 times and the measured
+// rate was ~450 sectors/s/core.  The row-blocked single-pass layout below
+// touches each wire byte once; within a row the 2*ch plane slices write
+// sequential streams.  For the production channel counts (2 and 3) the
+// inner block is a pshufb deinterleave+byteswap: 4 samples (= ch 16-byte
+// vectors) in, one 8-byte run of 4 int16 per plane out — the bswap is
+// folded into the shuffle masks for free.  Measured on the dev box:
+// ~3x the per-plane scalar decoder (see tests/test_native_codec.py's
+// throughput floor and DESIGN.md section 6's end-to-end balance).
 //
 // Build: see build.py / Makefile in this directory.  Exposed via ctypes.
 
@@ -17,7 +29,13 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
+
+#if defined(__SSSE3__) && defined(__SSE4_1__)
+#include <immintrin.h>
+#define WRP_SIMD_DECODE 1
+#endif
 
 namespace {
 
@@ -26,32 +44,152 @@ inline int16_t be16(const uint8_t *p) {
                               static_cast<uint16_t>(p[1]));
 }
 
-void decode_plane(const uint8_t *wire, float *dst, size_t samples,
-                  size_t offset_bytes, size_t stride_bytes) {
-  const uint8_t *src = wire + offset_bytes;
-  for (size_t s = 0; s < samples; ++s) {
-    dst[s] = static_cast<float>(be16(src));
-    src += stride_bytes;
+// Destination range row for wire range row r: natural order, or the
+// radix-DIT order of the fused kernel (row j=radix*t+p stored at p*M+t,
+// ops/pallas/fullchain.py radix_row_order) — only the offset formula
+// changes, the cost does not.
+inline int64_t dest_row(int64_t r, int64_t m, int32_t radix) {
+  return radix > 1 ? (r % radix) * (m / radix) + r / radix : r;
+}
+
+#ifdef WRP_SIMD_DECODE
+
+// pshufb control bytes for the 4-sample deinterleave of a 2*CH-plane
+// wire.  Block = 4 samples = CH 16-byte vectors; plane p's sample i sits
+// at byte offset 2p + 4*CH*i (big-endian hi byte first).  mask[p][v]
+// gathers plane p's contributions from vector v as little-endian int16
+// (byteswap folded in); positions outside v are 0x80 (zeroed), so the
+// per-plane result is the OR of the CH shuffled vectors.
+template <int CH>
+struct ShuffleMasks {
+  alignas(16) uint8_t m[2 * CH][CH][16];
+  ShuffleMasks() {
+    std::memset(m, 0x80, sizeof(m));
+    for (int p = 0; p < 2 * CH; ++p) {
+      for (int i = 0; i < 4; ++i) {
+        const int off = 2 * p + 4 * CH * i;  // BE hi byte of the sample
+        const int v = off / 16, local = off % 16;
+        m[p][v][2 * i] = static_cast<uint8_t>(local + 1);  // LE lo byte
+        m[p][v][2 * i + 1] = static_cast<uint8_t>(local);  // LE hi byte
+      }
+    }
+  }
+};
+
+template <int CH>
+inline void decode_block4(const uint8_t *s, const ShuffleMasks<CH> &mk,
+                          __m128i (&out)[2 * CH]) {
+  __m128i v[CH];
+  for (int c = 0; c < CH; ++c)
+    v[c] = _mm_loadu_si128(reinterpret_cast<const __m128i *>(s + 16 * c));
+  for (int p = 0; p < 2 * CH; ++p) {
+    __m128i r = _mm_shuffle_epi8(
+        v[0], _mm_load_si128(reinterpret_cast<const __m128i *>(mk.m[p][0])));
+    for (int c = 1; c < CH; ++c)
+      r = _mm_or_si128(
+          r, _mm_shuffle_epi8(v[c], _mm_load_si128(
+                                        reinterpret_cast<const __m128i *>(
+                                            mk.m[p][c]))));
+    out[p] = r;
   }
 }
 
-// Row-permuting variants: range row r lands at (r % radix)*(m/radix) +
-// r/radix — the radix-DIT input order of the fused kernel
-// (ops/pallas/fullchain.py radix_row_order).  Same cost as natural order:
-// only the destination offset formula changes.
+template <int CH, typename T>
+void decode_rows_simd(const uint8_t *wire, T *out, int64_t m, int64_t n,
+                      int64_t r0, int64_t r1, int32_t radix) {
+  static const ShuffleMasks<CH> mk;
+  constexpr int planes = 2 * CH;
+  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
+  const size_t row_bytes = static_cast<size_t>(n) * planes * 2;
+  for (int64_t r = r0; r < r1; ++r) {
+    const uint8_t *s = wire + static_cast<size_t>(r) * row_bytes;
+    const int64_t dr = dest_row(r, m, radix);
+    T *d[planes];
+    for (int p = 0; p < planes; ++p)
+      d[p] = out + static_cast<size_t>(p) * samples +
+             static_cast<size_t>(dr) * n;
+    int64_t j = 0;
+    for (; j + 4 <= n; j += 4, s += 16 * CH) {
+      __m128i b[planes];
+      decode_block4<CH>(s, mk, b);
+      for (int p = 0; p < planes; ++p) {
+        if constexpr (std::is_same_v<T, int16_t>) {
+          _mm_storel_epi64(reinterpret_cast<__m128i *>(d[p] + j), b[p]);
+        } else {
+          _mm_storeu_ps(d[p] + j,
+                        _mm_cvtepi32_ps(_mm_cvtepi16_epi32(b[p])));
+        }
+      }
+    }
+    for (; j < n; ++j, s += planes * 2)  // n % 4 tail
+      for (int p = 0; p < planes; ++p)
+        d[p][j] = static_cast<T>(be16(s + 2 * p));
+  }
+}
+
+#endif  // WRP_SIMD_DECODE
+
+// Scalar single-pass fallback (any channel count): still one DRAM walk —
+// the 2*ch re-reads of a row stay in L1 (a row is a few KB).
 template <typename T>
-void decode_plane_radix(const uint8_t *wire, T *dst, int64_t m, int64_t n,
-                        size_t offset_bytes, size_t stride_bytes,
-                        int32_t radix) {
-  const uint8_t *src = wire + offset_bytes;
-  const int64_t M = m / radix;
-  for (int64_t r = 0; r < m; ++r) {
-    T *row = dst + ((r % radix) * M + r / radix) * n;
-    for (int64_t j = 0; j < n; ++j) {
-      row[j] = static_cast<T>(be16(src));
-      src += stride_bytes;
+void decode_rows_scalar(const uint8_t *wire, T *out, int64_t m, int64_t n,
+                        int ch, int64_t r0, int64_t r1, int32_t radix) {
+  const int planes = ch * 2;
+  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
+  const size_t row_bytes = static_cast<size_t>(n) * planes * 2;
+  for (int64_t r = r0; r < r1; ++r) {
+    const uint8_t *src = wire + static_cast<size_t>(r) * row_bytes;
+    const int64_t dr = dest_row(r, m, radix);
+    for (int p = 0; p < planes; ++p) {
+      T *dst = out + static_cast<size_t>(p) * samples +
+               static_cast<size_t>(dr) * n;
+      const uint8_t *s = src + 2 * p;
+      for (int64_t j = 0; j < n; ++j, s += planes * 2)
+        dst[j] = static_cast<T>(be16(s));
     }
   }
+}
+
+template <typename T>
+void decode_rows(const uint8_t *wire, T *out, int64_t m, int64_t n, int ch,
+                 int64_t r0, int64_t r1, int32_t radix) {
+#ifdef WRP_SIMD_DECODE
+  if (ch == 3) {
+    decode_rows_simd<3, T>(wire, out, m, n, r0, r1, radix);
+    return;
+  }
+  if (ch == 2) {
+    decode_rows_simd<2, T>(wire, out, m, n, r0, r1, radix);
+    return;
+  }
+#endif
+  decode_rows_scalar<T>(wire, out, m, n, ch, r0, r1, radix);
+}
+
+// Partition range rows over up to num_threads workers (contiguous row
+// blocks: each worker's reads AND writes stay sequential).  One thread
+// (the measured best on small-core hosts) runs inline, no pool.
+template <typename T>
+void decode_threaded(const uint8_t *wire, T *out, int64_t m, int64_t n,
+                     int ch, int32_t num_threads, int32_t radix) {
+  constexpr int64_t kMinRowsPerWorker = 32;
+  const int workers = static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(num_threads,
+                                             m / kMinRowsPerWorker)));
+  if (workers <= 1) {
+    decode_rows<T>(wire, out, m, n, ch, 0, m, radix);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  const int64_t chunk = (m + workers - 1) / workers;
+  for (int w = 0; w < workers; ++w) {
+    const int64_t r0 = w * chunk;
+    const int64_t r1 = std::min<int64_t>(m, r0 + chunk);
+    pool.emplace_back(
+        [=] { decode_rows<T>(wire, out, m, n, ch, r0, r1, radix); });
+  }
+  for (auto &t : pool) t.join();
 }
 
 }  // namespace
@@ -61,32 +199,8 @@ extern "C" {
 // wire[m*n*ch*4] BE int16 interleaved -> out[ch*2*m*n] float32 planar.
 void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
                    int64_t ch, int32_t num_threads) {
-  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
-  const size_t stride = static_cast<size_t>(ch) * 4;  // bytes per sample
-  const int planes = static_cast<int>(ch) * 2;
-
-  if (num_threads <= 1 || planes <= 1) {
-    for (int p = 0; p < planes; ++p) {
-      decode_plane(wire, out + static_cast<size_t>(p) * samples, samples,
-                   static_cast<size_t>(p) * 2, stride);
-    }
-    return;
-  }
-  // honour the thread-count knob: round-robin the planes over at most
-  // num_threads workers (one-thread-per-plane would spawn ch*2 threads
-  // no matter what WRP_CODEC_THREADS asked for)
-  const int workers = std::min(num_threads, static_cast<int32_t>(planes));
-  std::vector<std::thread> pool;
-  pool.reserve(workers);
-  for (int w = 0; w < workers; ++w) {
-    pool.emplace_back([=] {
-      for (int p = w; p < planes; p += workers) {
-        decode_plane(wire, out + static_cast<size_t>(p) * samples, samples,
-                     static_cast<size_t>(p) * 2, stride);
-      }
-    });
-  }
-  for (auto &t : pool) t.join();
+  decode_threaded<float>(wire, out, m, n, static_cast<int>(ch), num_threads,
+                         1);
 }
 
 // wire BE int16 interleaved -> int16 planar (compact device-feed layout:
@@ -95,36 +209,8 @@ void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
 void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
                        int64_t n, int64_t ch, int32_t num_threads,
                        int32_t radix) {
-  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
-  const size_t stride = static_cast<size_t>(ch) * 4;
-  const int planes = static_cast<int>(ch) * 2;
-  auto decode = [=](int p) {
-    if (radix > 1) {
-      decode_plane_radix<int16_t>(wire, out + static_cast<size_t>(p) * samples,
-                                  m, n, static_cast<size_t>(p) * 2, stride,
-                                  radix);
-      return;
-    }
-    const uint8_t *src = wire + static_cast<size_t>(p) * 2;
-    int16_t *dst = out + static_cast<size_t>(p) * samples;
-    for (size_t s = 0; s < samples; ++s) {
-      dst[s] = be16(src);
-      src += stride;
-    }
-  };
-  if (num_threads <= 1 || planes <= 1) {
-    for (int p = 0; p < planes; ++p) decode(p);
-    return;
-  }
-  const int workers = std::min(num_threads, static_cast<int32_t>(planes));
-  std::vector<std::thread> pool;
-  pool.reserve(workers);
-  for (int w = 0; w < workers; ++w) {
-    pool.emplace_back([=] {
-      for (int p = w; p < planes; p += workers) decode(p);
-    });
-  }
-  for (auto &t : pool) t.join();
+  decode_threaded<int16_t>(wire, out, m, n, static_cast<int>(ch),
+                           num_threads, radix);
 }
 
 // planar float32 [ch][2][m][n] -> wire BE int16 interleaved (producer side).
