@@ -218,11 +218,63 @@ void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
 // wraps out-of-range values mod 2^16 the same way numpy's astype does —
 // the two encoders must emit identical wire bytes for identical floats
 // (truncation-toward-zero here used to shift LSBs vs the Python path).
+// Single pass like the decoder: 4 samples per block, one 16-byte float
+// load per plane, cvtps_epi32 (round-to-nearest-even, NaN -> INT_MIN
+// whose low 16 bits are 0 — matching the scalar NaN -> 0 contract), then
+// the interleave+byteswap as pshufb gathers into 2*ch output vectors.
 void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
                    int64_t ch) {
   const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
-  const size_t stride = static_cast<size_t>(ch) * 4;
   const int planes = static_cast<int>(ch) * 2;
+#ifdef WRP_SIMD_DECODE
+  if (ch == 3 || ch == 2) {
+    // mask[o][p]: contribution of plane p's int32x4 block to output
+    // vector o.  Wire byte g = 4*ch*i + 2p (+0 BE hi, +1 lo) for sample
+    // i of plane p; int32 lane i holds the value LE (byte 4i = lo,
+    // 4i+1 = hi).
+    const int stride = 4 * static_cast<int>(ch);
+    alignas(16) uint8_t mask[6][12][16];
+    std::memset(mask, 0x80, sizeof(mask));
+    for (int o = 0; o < static_cast<int>(ch); ++o)
+      for (int b = 0; b < 16; ++b) {
+        const int g = 16 * o + b, pos = g % stride, i = g / stride;
+        mask[o][pos / 2][b] =
+            static_cast<uint8_t>(4 * i + (pos % 2 ? 0 : 1));
+      }
+    const int64_t total = static_cast<int64_t>(samples);
+    int64_t s0 = 0;
+    for (; s0 + 4 <= total; s0 += 4) {
+      __m128i v[12];
+      for (int p = 0; p < planes; ++p)
+        v[p] = _mm_cvtps_epi32(_mm_loadu_ps(planar + p * samples + s0));
+      uint8_t *dst = wire + static_cast<size_t>(s0) * stride;
+      for (int o = 0; o < static_cast<int>(ch); ++o) {
+        __m128i r = _mm_shuffle_epi8(
+            v[0],
+            _mm_load_si128(reinterpret_cast<const __m128i *>(mask[o][0])));
+        for (int p = 1; p < planes; ++p)
+          r = _mm_or_si128(
+              r, _mm_shuffle_epi8(v[p],
+                                  _mm_load_si128(
+                                      reinterpret_cast<const __m128i *>(
+                                          mask[o][p]))));
+        _mm_storeu_si128(reinterpret_cast<__m128i *>(dst + 16 * o), r);
+      }
+    }
+    for (; s0 < total; ++s0) {  // samples % 4 tail
+      uint8_t *dst = wire + static_cast<size_t>(s0) * stride;
+      for (int p = 0; p < planes; ++p) {
+        const float f = planar[p * samples + s0];
+        const int64_t v64 = (f == f) ? llrintf(f) : 0;
+        const uint16_t vv = static_cast<uint16_t>(v64 & 0xffff);
+        dst[2 * p] = static_cast<uint8_t>((vv >> 8) & 0xff);
+        dst[2 * p + 1] = static_cast<uint8_t>(vv & 0xff);
+      }
+    }
+    return;
+  }
+#endif
+  const size_t stride = static_cast<size_t>(ch) * 4;
   for (int p = 0; p < planes; ++p) {
     const float *src = planar + static_cast<size_t>(p) * samples;
     uint8_t *dst = wire + static_cast<size_t>(p) * 2;
