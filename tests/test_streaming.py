@@ -113,6 +113,50 @@ def test_throughput_rate_prunes_stale_events():
     assert tp.count == 1000        # the overall counter is untouched
 
 
+def test_latency_stats_percentiles():
+    """Nearest-rank percentiles over the bounded reservoir: every
+    reported value is a latency that actually happened, and the cap
+    evicts oldest-first while the count keeps the lifetime total."""
+    from wrp_tpu.runtime.metrics import LatencyStats
+
+    ls = LatencyStats(cap=5)
+    assert ls.summary() is None
+    for v in (0.010, 0.020, 0.030, 0.040, 0.100):
+        ls.record(v)
+    s = ls.summary()
+    assert s["count"] == 5
+    assert s["p50_ms"] == 30.0
+    assert s["p90_ms"] == 100.0
+    assert s["max_ms"] == 100.0
+    assert s["mean_ms"] == 40.0
+    ls.record(0.050)          # evicts the 10 ms sample (cap=5)
+    s = ls.summary()
+    assert s["count"] == 6    # lifetime count, not reservoir size
+    assert s["p50_ms"] == 40.0 and s["max_ms"] == 100.0
+
+
+def test_streaming_reports_end_to_end_latency(cfg):
+    """Every processed sector contributes one wire-arrival→published
+    latency sample (decode + queue + batch wait + H2D + compute + D2H),
+    and the stats summary reports ordered percentiles."""
+    n_sectors = 5
+    sectors = _wire_sectors(cfg, n_sectors, seed=11)
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    ex = StreamingExecutor(cfg, transport=ingest, publish=None,
+                           batch=2, max_sectors=n_sectors)
+    runner = threading.Thread(target=ex.run, daemon=True)
+    runner.start()
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    for _, wire in sectors:
+        producer.send_sector(wire)
+    runner.join(timeout=20)
+    lat = ex.stats(n_sectors)["latency_ms"]
+    assert lat["count"] == n_sectors
+    assert 0 < lat["p50_ms"] <= lat["p90_ms"] <= lat["p99_ms"] <= lat["max_ms"]
+    ingest.close()
+    producer.close()
+
+
 def test_executor_empty_publish_list_means_no_publish(cfg):
     """publish=[] must behave like publish=None (no egress), not crash
     the first completed batch with an IndexError."""

@@ -37,7 +37,7 @@ import numpy as np
 from ..config import RadarConfig, DEFAULT_CONFIG
 from ..pipeline import SectorProcessor
 from ..io import codec
-from .metrics import StageTimers, Throughput, log
+from .metrics import LatencyStats, StageTimers, Throughput, log
 from .volume import VolumeScan
 
 
@@ -47,6 +47,7 @@ class SectorTask:
     sector: int
     elevation: int
     feed: int = 0               # which ingest transport produced it
+    t_recv: float = 0.0         # perf_counter at wire arrival (0 = unknown)
 
 
 class _StallWatchdog:
@@ -228,6 +229,7 @@ class StreamingExecutor:
         self.checkpoints_written = 0
         self.timers = StageTimers()
         self.throughput = Throughput()
+        self.latency = LatencyStats()
         if processor is not None:
             self.processor = processor
             self._decode_radix = 0          # external step: natural f32
@@ -295,6 +297,7 @@ class StreamingExecutor:
                         break
                     continue
                 idle = 0
+                t_recv = time.perf_counter()   # wire arrival: latency t0
                 if header is not None:
                     sector, elevation = header.sector, header.elevation
                     if not (0 <= sector < self.cfg.num_sectors
@@ -318,7 +321,8 @@ class StreamingExecutor:
                             wire, self.cfg, radix=self._decode_radix)
                     else:
                         planar = codec.decode_iq(wire, self.cfg)
-                task = SectorTask(planar, sector, elevation, feed)
+                task = SectorTask(planar, sector, elevation, feed,
+                                  t_recv=t_recv)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(task, timeout=0.2)
@@ -513,6 +517,8 @@ class StreamingExecutor:
                 with self.timers.time("egress/send"):
                     self._publish_one(t, zdb[k], zdr[k])
             self._feed_processed[t.feed] += 1
+            if t.t_recv:
+                self.latency.record(time.perf_counter() - t.t_recv)
         self.throughput.tick(len(tasks))
         self._processed += len(tasks)
         self._maybe_checkpoint()
@@ -724,6 +730,7 @@ class StreamingExecutor:
             "stall_warnings": self.stall_warnings,
             "checkpoints_written": self.checkpoints_written,
             "sectors_per_second": round(self.throughput.overall(), 2),
+            "latency_ms": self.latency.summary(),
             "timers": self.timers.summary(),
             "transport": dataclasses.asdict(self.transport.stats)
             if hasattr(self.transport, "stats") else {},

@@ -82,6 +82,60 @@ class StageTimers:
         }
 
 
+class LatencyStats:
+    """Per-sector end-to-end latency reservoir: wire arrival (last row of
+    the sector received) → products published.
+
+    The serving metric the reference never measured: its instrumentation
+    covered per-stage device work (read_gpu.cu tick/tock points) and the
+    ingest decode breakdown (rpv2.cu:343-387 "msg rcv / deserialize /
+    restructuring"), but nothing followed one sector through the whole
+    stack — and for a real-time radar display the question is exactly
+    "how stale is the sweep on screen".  Includes decode, queueing,
+    batch-fill wait, H2D, compute, D2H, and egress.
+
+    Thread-safe (recorded on the compute thread, read by stats() from
+    anywhere).  Keeps the most recent `cap` samples: a full 143x9 volume
+    is 1 287 sectors, so a long-lived service reports a sliding window
+    over the latest ~78 volumes rather than growing without bound."""
+
+    def __init__(self, cap: int = 100_000):
+        import threading
+
+        self.cap = cap
+        self.count = 0
+        self._samples: list = []
+        self._lock = threading.Lock()
+
+    def record(self, seconds: float) -> None:
+        with self._lock:
+            self.count += 1
+            self._samples.append(seconds)
+            if len(self._samples) > self.cap:
+                del self._samples[: len(self._samples) - self.cap]
+
+    def summary(self):
+        """Percentile summary in ms, or None if nothing was recorded.
+
+        Percentiles use the nearest-rank method (no interpolation): every
+        reported value is a latency that actually happened."""
+        with self._lock:
+            if not self._samples:
+                return None
+            s = sorted(self._samples)
+            count = self.count
+        def rank(p):
+            return s[min(len(s) - 1, int(p * len(s)))]
+        return {
+            "count": count,
+            "mean_ms": round(1e3 * sum(s) / len(s), 3),
+            "p50_ms": round(1e3 * rank(0.50), 3),
+            "p90_ms": round(1e3 * rank(0.90), 3),
+            "p99_ms": round(1e3 * rank(0.99), 3),
+            "max_ms": round(1e3 * s[-1], 3),
+        }
+
+
 @dataclass
 class Throughput:
     """Sectors/s counter with rolling window, the reference's headline
