@@ -52,6 +52,11 @@ def main():
                     help="fused-kernel clip-bin formulation (A/B harness; "
                          "default = ops.pallas.fullchain.CLIP_MODE; vpu = "
                          "pure-f32 VPU projections, mxu3 = bf16x3 dots)")
+    ap.add_argument("--xsplit", default=None, choices=["f32", "int"],
+                    help="radix-kernel x-side hi/lo split (A/B harness; "
+                         "default = ops.pallas.fullchain.X_SPLIT; int = "
+                         "integer-mask split, no f32 round-trip — needs "
+                         "the i16 feed)")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -191,7 +196,7 @@ def main():
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bc, salt=salt,
-                    kcat2=kcat2, clip=args.clip)
+                    kcat2=kcat2, clip=args.clip, xsplit=args.xsplit)
         else:
             a_split = put(FC.split_operator_host(consts.op_a_half))
 
@@ -411,6 +416,7 @@ def main():
         "in_dtype": args.in_dtype,
         "a_layout": args.a_layout,
         "clip": args.clip,
+        "xsplit": args.xsplit,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

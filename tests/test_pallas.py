@@ -207,3 +207,63 @@ def test_clip_modes_vs_oracle_adversarial(clip):
         jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
         interpret=True, clip=clip)).reshape(cfg.num_channels, -1)
     assert oracle.relative_l2(pow64, got_d) < 2e-5, clip
+
+
+def test_int_xsplit_exactness():
+    """The integer-mask split must be EXACT over the whole operating
+    range: v == f32(hi_bf16) + f32(lo_bf16) for every int16 the kernel
+    can see (14-bit ADC samples plus bench salts for the 6-bit split;
+    the full 15-bit sum range for the 7-bit split)."""
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    for lo_bits, lim in ((6, 1 << 13), (7, 1 << 14)):
+        v = np.arange(-lim, lim, dtype=np.int32 if lim > (1 << 13)
+                      else np.int16)
+        hi, lo = FC._split_int(jnp.asarray(v), lo_bits)
+        back = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
+        np.testing.assert_array_equal(back, v.astype(np.float32))
+
+
+def test_radix_kernel_int_xsplit_vs_oracle():
+    """xsplit="int" (integer-mask hi/lo split, no f32 round-trip) on the
+    wire-native int16 feed must match the fp64 oracle; its dropped al@xl
+    term is one bit wider than the f32 split's, so the bound is the same
+    class, and the two splits must agree closely with each other."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=29)  # integer-valued
+    pow64 = oracle.channel_power(iq, cfg)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    order = FC.radix_row_order(cfg.m, radix)
+    x_i16 = np.stack([iq.real, iq.imag], 1).astype(np.int16)[:, :, order, :]
+    args = (jnp.asarray(a_np), fac, jnp.asarray(consts.wd),
+            jnp.asarray(consts.clip_phasors))
+    got_int = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(x_i16), *args, interpret=True, xsplit="int"))
+    got_f32 = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(x_i16), *args, interpret=True, xsplit="f32"))
+    assert oracle.relative_l2(pow64, got_int) < 2e-5
+    assert oracle.relative_l2(got_f32, got_int) < 2e-5
+
+
+def test_int_xsplit_rejects_float_input():
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=128, n=64)
+    consts = PipelineConstants.build(cfg)
+    a_np, fac = FC.radix_plan_host(consts, FC.radix_for(cfg.m))
+    x = np.zeros((1, 2, cfg.m, cfg.n), np.float32)
+    with pytest.raises(ValueError, match="int16 input"):
+        FC.fused_chain_power_radix(
+            jnp.asarray(x), jnp.asarray(a_np), fac,
+            jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+            interpret=True, xsplit="int")

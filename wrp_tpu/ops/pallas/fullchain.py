@@ -326,6 +326,28 @@ def radix_row_order(m: int, radix: int) -> np.ndarray:
 #: sectors/s — the MXU-internal accumulation wins ~7%).
 A_LAYOUT = "kcat"
 
+#: how the radix kernel splits the int16 x-side into bf16 hi/lo planes:
+#: "f32" converts to f32 then rounds (hi = bf16(x), lo = x - hi — the
+#: classic split, 1 convert + 3 casts + 1 sub per plane); "int" masks the
+#: integer directly (hi = v & ~63, lo = v & 63, both EXACT in bf16 for the
+#: 14-bit ADC range even with bench salts, then two direct int->bf16
+#: casts) — no f32 round-trip at all.  The sum plane (x_r + x_i spans 15
+#: bits) uses a 7-bit lo mask so its hi stays within bf16's 8-bit
+#: significand.  The masked lo is one bit wider than the rounded one, so
+#: the dropped al@xl term grows from ~2^-17 to ~2^-16 relative — still
+#: far inside the fp32 contract (oracle-pinned).  Pick by hardware A/B
+#: (bench.py --xsplit); only meaningful for int16 input.
+X_SPLIT = "f32"
+
+
+def _split_int(v, lo_bits: int):
+    """Exact hi/lo bf16 split of an integer plane via masking (no f32
+    round-trip): v == hi + lo with hi a multiple of 2^lo_bits and
+    lo in [0, 2^lo_bits).  Exact in bf16 when |v| <= 2^(7 + lo_bits)."""
+    lo = jnp.bitwise_and(v, (1 << lo_bits) - 1)
+    hi = v - lo
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
 
 def radix_plan_host(consts: PipelineConstants, radix: int,
                     layout: str = None):
@@ -451,7 +473,8 @@ def _combine_radix4(G):
 
 
 def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=None, kcat2=False, clip=CLIP_MODE):
+                  pow_ref, salt=None, kcat2=False, clip=CLIP_MODE,
+                  xsplit=None):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
@@ -475,14 +498,26 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     M = m // radix
     # whole-sector splits hoisted out of the branch loop: one big VPU
     # block the scheduler can overlap with the first branches' MXU dots
-    xr_a = x_ref[0, 0, :, :].astype(jnp.float32)
-    xi_a = x_ref[0, 1, :, :].astype(jnp.float32)
-    if salt is not None:
-        xr_a = xr_a + salt
-        xi_a = xi_a + salt
-    xrh_a, xrl_a = _split_bf16(xr_a)
-    xih_a, xil_a = _split_bf16(xi_a)
-    xsh_a, xsl_a = _split_bf16(xr_a + xi_a)
+    if (xsplit or X_SPLIT) == "int":
+        # integer-mask split: no int->f32->bf16 round-trip (see X_SPLIT)
+        vr = x_ref[0, 0, :, :]
+        vi = x_ref[0, 1, :, :]
+        if salt is not None:
+            si = salt.astype(vr.dtype)
+            vr = vr + si
+            vi = vi + si
+        xrh_a, xrl_a = _split_int(vr, 6)
+        xih_a, xil_a = _split_int(vi, 6)
+        xsh_a, xsl_a = _split_int(vr + vi, 7)   # 15-bit sum: 7-bit lo
+    else:
+        xr_a = x_ref[0, 0, :, :].astype(jnp.float32)
+        xi_a = x_ref[0, 1, :, :].astype(jnp.float32)
+        if salt is not None:
+            xr_a = xr_a + salt
+            xi_a = xi_a + salt
+        xrh_a, xrl_a = _split_bf16(xr_a)
+        xih_a, xil_a = _split_bf16(xi_a)
+        xsh_a, xsl_a = _split_bf16(xr_a + xi_a)
     G = []
     for p in range(radix):
         rows = slice(p * M, (p + 1) * M)
@@ -534,11 +569,12 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     pow_ref[0, 0, :] = _clip_subtract(s_, qr, qi, ph_ref[:], clip)
 
 
-def _kernel_radix_offset(n, radix, fac, salted, kcat2, clip, s_ref, x_ref,
-                         a_ref, wd_ref, ph_ref, pow_ref):
+def _kernel_radix_offset(n, radix, fac, salted, kcat2, clip, xsplit,
+                         s_ref, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     salt = s_ref[1].astype(jnp.float32) if salted else None
     _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=salt, kcat2=kcat2, clip=clip)
+                  pow_ref, salt=salt, kcat2=kcat2, clip=clip,
+                  xsplit=xsplit)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
@@ -547,7 +583,8 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
                             interpret: bool = False,
                             offset=None, bc: int | None = None,
                             salt=None, kcat2: bool = False,
-                            clip: str | None = None) -> jax.Array:
+                            clip: str | None = None,
+                            xsplit: str | None = None) -> jax.Array:
     """Radix kernel entry: x_r [bc, 2, m, n] with rows in radix order.
 
     With offset/bc set, reads a slab of a larger staged array via scalar
@@ -556,8 +593,13 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     see _kernel_radix.  salt is ignored in interpret mode.  kcat2 picks
     the two-dot K-concat pattern (same operand array as kcat); clip
     selects the clip-bin formulation (default CLIP_MODE, see
-    _clip_subtract)."""
+    _clip_subtract); xsplit the x-side hi/lo split (default X_SPLIT,
+    "int" requires integer input)."""
     clip = clip or CLIP_MODE
+    xsplit = xsplit or X_SPLIT
+    if xsplit == "int" and not jnp.issubdtype(x_r.dtype, jnp.integer):
+        raise ValueError("xsplit='int' needs int16 input (the wire-native "
+                         f"feed); got {x_r.dtype}")
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
@@ -570,7 +612,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     if offset is None:
         bc = x_r.shape[0]
         kernel = functools.partial(_kernel_radix, float(n), radix, fac,
-                                   kcat2=kcat2, clip=clip)
+                                   kcat2=kcat2, clip=clip, xsplit=xsplit)
         in_specs = [
             pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -593,7 +635,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         )(x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
     kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
-                               salt is not None, kcat2, clip)
+                               salt is not None, kcat2, clip, xsplit)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bc,),
