@@ -57,6 +57,13 @@ def main():
                          "default = ops.pallas.fullchain.X_SPLIT; int = "
                          "integer-mask split, no f32 round-trip — needs "
                          "the i16 feed)")
+    ap.add_argument("--xpair", action="store_true",
+                    help="radix-kernel sector pairing (A/B harness; "
+                         "default = ops.pallas.fullchain.X_PAIR): two "
+                         "channel-sectors lane-concatenated per grid "
+                         "step, so every MXU dot runs at N=2n — half "
+                         "the dot count at identical MACs; needs an "
+                         "even batch*channels")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -187,6 +194,8 @@ def main():
                                    layout="radix")
 
             kcat2 = args.a_layout == "kcat2"
+            if args.xpair and bcn % 2:
+                sys.exit(f"--xpair needs an even batch*channels; got {bcn}")
 
             def power_at(x_all, off, salt, bc=bcn):
                 # bc must match the caller's slab size: the global bcn
@@ -196,7 +205,8 @@ def main():
                 return FC.fused_chain_power_radix(
                     x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bc, salt=salt,
-                    kcat2=kcat2, clip=args.clip, xsplit=args.xsplit)
+                    kcat2=kcat2, clip=args.clip, xsplit=args.xsplit,
+                    pair=args.xpair or None)
         else:
             a_split = put(FC.split_operator_host(consts.op_a_half))
 
@@ -417,6 +427,7 @@ def main():
         "a_layout": args.a_layout,
         "clip": args.clip,
         "xsplit": args.xsplit,
+        "xpair": args.xpair or None,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

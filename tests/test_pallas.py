@@ -267,3 +267,70 @@ def test_int_xsplit_rejects_float_input():
             jnp.asarray(x), jnp.asarray(a_np), fac,
             jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
             interpret=True, xsplit="int")
+
+
+def test_radix_kernel_pair_matches_unpaired_exactly():
+    """pair=True (two channel-sectors lane-concatenated into N=2n dots,
+    fullchain.X_PAIR) computes column-for-column the SAME arithmetic as
+    the unpaired kernel — every dot column, split, combine butterfly, and
+    epilogue slice reduces in the same order — so the outputs must be
+    bit-identical, and oracle-correct.  Covers both A layouts, both
+    x-splits, and the offset entry (even offsets only)."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=31)
+    pow64 = oracle.channel_power(iq, cfg)
+    order = FC.radix_row_order(cfg.m, radix)
+    planar = np.stack([iq.real, iq.imag], 1)[:, :, order, :]
+    # 4 channel-sectors (even, as pair requires): the 3 channels + a copy
+    x4_f32 = np.concatenate([planar, planar[:1]]).astype(np.float32)
+    x4_i16 = x4_f32.astype(np.int16)
+    wd = jnp.asarray(consts.wd)
+    ph = jnp.asarray(consts.clip_phasors)
+    for layout in ("kcat", "split"):
+        a_np, fac = FC.radix_plan_host(consts, radix, layout=layout)
+        args = (jnp.asarray(a_np), fac, wd, ph)
+        for x4, xsplit in ((x4_f32, "f32"), (x4_i16, "int")):
+            base = np.asarray(FC.fused_chain_power_radix(
+                jnp.asarray(x4), *args, interpret=True, xsplit=xsplit,
+                pair=False))
+            paired = np.asarray(FC.fused_chain_power_radix(
+                jnp.asarray(x4), *args, interpret=True, xsplit=xsplit,
+                pair=True))
+            np.testing.assert_array_equal(paired, base, err_msg=layout)
+            for ch in range(cfg.num_channels):
+                assert oracle.relative_l2(pow64[ch], paired[ch]) < 2e-5
+    # offset entry (interpret falls back to dynamic_slice + plain grid)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    stage = jnp.asarray(np.concatenate([x4_f32, x4_f32]))
+    sliced = np.asarray(FC.fused_chain_power_radix(
+        stage, jnp.asarray(a_np), fac, wd, ph, interpret=True,
+        offset=2, bc=4, pair=True))
+    np.testing.assert_array_equal(
+        sliced,
+        np.asarray(FC.fused_chain_power_radix(
+            stage[2:6], jnp.asarray(a_np), fac, wd, ph,
+            interpret=True, pair=True)))
+
+
+def test_radix_kernel_pair_rejects_odd_count():
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=128, n=64)
+    consts = PipelineConstants.build(cfg)
+    a_np, fac = FC.radix_plan_host(consts, FC.radix_for(cfg.m))
+    x = np.zeros((3, 2, cfg.m, cfg.n), np.float32)
+    with pytest.raises(ValueError, match="even"):
+        FC.fused_chain_power_radix(
+            jnp.asarray(x), jnp.asarray(a_np), fac,
+            jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+            interpret=True, pair=True)

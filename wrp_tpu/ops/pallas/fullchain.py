@@ -340,6 +340,18 @@ A_LAYOUT = "kcat"
 X_SPLIT = "f32"
 
 
+#: whether the radix kernel processes channel-sectors in PAIRS, with the
+#: two sectors' pulse axes concatenated along lanes so every MXU dot runs
+#: at N=2n=1024 instead of N=512 — half the dot count at identical MACs.
+#: Motivation: the trace-backed floor attribution (DESIGN.md §3) names
+#: sub-100% MXU occupancy on the [128, 384] @ [384, 512] dots; if the
+#: loss is per-dot pipeline fill / weight-load bubbles, wider-N dots
+#: amortise it (tools/mxu_occupancy.py isolates the effect).  Costs one
+#: extra lane-concat of the input planes per pair.  Off by default until
+#: the on-chip A/B picks a winner (bench.py --xpair).
+X_PAIR = False
+
+
 def _split_int(v, lo_bits: int):
     """Exact hi/lo bf16 split of an integer plane via masking (no f32
     round-trip): v == hi + lo with hi a multiple of 2^lo_bits and
@@ -474,7 +486,7 @@ def _combine_radix4(G):
 
 def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
                   pow_ref, salt=None, kcat2=False, clip=CLIP_MODE,
-                  xsplit=None):
+                  xsplit=None, pair=False):
     """One channel-sector grid step; x rows in radix order.
 
     x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
@@ -487,6 +499,10 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
             threads a distinct per-step salt through so no two steps
             compute the same function of the staged input (defeats any
             conceivable XLA loop-level reuse/CSE; bench.py).
+    pair:   process TWO channel-sectors per grid step (x_ref [2, 2, m, n],
+            pow_ref [2, 1, m/2]) with their pulse axes lane-concatenated,
+            so every dot/split/combine runs at width 2n — half the MXU
+            dot count at identical MACs (see X_PAIR).
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -496,12 +512,19 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
+    if pair:
+        # lane-concat the pair's planes: one [m, 2n] block per plane; all
+        # downstream VPU work is identical in total elements, the dots
+        # halve in count and double in N
+        vr = jnp.concatenate([x_ref[0, 0, :, :], x_ref[1, 0, :, :]], axis=1)
+        vi = jnp.concatenate([x_ref[0, 1, :, :], x_ref[1, 1, :, :]], axis=1)
+    else:
+        vr = x_ref[0, 0, :, :]
+        vi = x_ref[0, 1, :, :]
     # whole-sector splits hoisted out of the branch loop: one big VPU
     # block the scheduler can overlap with the first branches' MXU dots
     if (xsplit or X_SPLIT) == "int":
         # integer-mask split: no int->f32->bf16 round-trip (see X_SPLIT)
-        vr = x_ref[0, 0, :, :]
-        vi = x_ref[0, 1, :, :]
         if salt is not None:
             si = salt.astype(vr.dtype)
             vr = vr + si
@@ -510,8 +533,8 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
         xih_a, xil_a = _split_int(vi, 6)
         xsh_a, xsl_a = _split_int(vr + vi, 7)   # 15-bit sum: 7-bit lo
     else:
-        xr_a = x_ref[0, 0, :, :].astype(jnp.float32)
-        xi_a = x_ref[0, 1, :, :].astype(jnp.float32)
+        xr_a = vr.astype(jnp.float32)
+        xi_a = vi.astype(jnp.float32)
         if salt is not None:
             xr_a = xr_a + salt
             xi_a = xi_a + salt
@@ -561,20 +584,23 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     yi = jnp.concatenate(Yi, axis=0)
 
     wd = wd_ref[0]
-    qr = yr * wd
-    qi = yi * wd
-    qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
-    qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
-    s_ = n * jnp.sum(qr * qr + qi * qi, axis=-1)
-    pow_ref[0, 0, :] = _clip_subtract(s_, qr, qi, ph_ref[:], clip)
+    n_i = wd.shape[0]    # per-sector pulse count (yr is [mh, 2*n_i] paired)
+    for sct in range(2 if pair else 1):
+        lanes = slice(sct * n_i, (sct + 1) * n_i)
+        qr = yr[:, lanes] * wd
+        qi = yi[:, lanes] * wd
+        qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
+        qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
+        s_ = n * jnp.sum(qr * qr + qi * qi, axis=-1)
+        pow_ref[sct, 0, :] = _clip_subtract(s_, qr, qi, ph_ref[:], clip)
 
 
-def _kernel_radix_offset(n, radix, fac, salted, kcat2, clip, xsplit,
+def _kernel_radix_offset(n, radix, fac, salted, kcat2, clip, xsplit, pair,
                          s_ref, x_ref, a_ref, wd_ref, ph_ref, pow_ref):
     salt = s_ref[1].astype(jnp.float32) if salted else None
     _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
                   pow_ref, salt=salt, kcat2=kcat2, clip=clip,
-                  xsplit=xsplit)
+                  xsplit=xsplit, pair=pair)
 
 
 def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
@@ -584,7 +610,8 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
                             offset=None, bc: int | None = None,
                             salt=None, kcat2: bool = False,
                             clip: str | None = None,
-                            xsplit: str | None = None) -> jax.Array:
+                            xsplit: str | None = None,
+                            pair: bool | None = None) -> jax.Array:
     """Radix kernel entry: x_r [bc, 2, m, n] with rows in radix order.
 
     With offset/bc set, reads a slab of a larger staged array via scalar
@@ -594,9 +621,13 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     the two-dot K-concat pattern (same operand array as kcat); clip
     selects the clip-bin formulation (default CLIP_MODE, see
     _clip_subtract); xsplit the x-side hi/lo split (default X_SPLIT,
-    "int" requires integer input)."""
+    "int" requires integer input); pair processes two channel-sectors
+    per grid step at 2n dot width (default X_PAIR; needs bc even, and
+    with offset also an even offset — bc-unit offsets are halved into
+    pair-block units for the index map)."""
     clip = clip or CLIP_MODE
     xsplit = xsplit or X_SPLIT
+    pair = X_PAIR if pair is None else pair
     if xsplit == "int" and not jnp.issubdtype(x_r.dtype, jnp.integer):
         raise ValueError("xsplit='int' needs int16 input (the wire-native "
                          f"feed); got {x_r.dtype}")
@@ -605,6 +636,10 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     m = radix * M
     n = x_r.shape[-1]
     mh = (m // 2)
+    blk = 2 if pair else 1
+    if pair and (bc if offset is not None else x_r.shape[0]) % 2:
+        raise ValueError("pair=True needs an even channel-sector count; "
+                         f"got {bc if offset is not None else x_r.shape[0]}")
     if offset is not None and interpret:
         x_r = jax.lax.dynamic_slice(
             x_r, (offset, 0, 0, 0), (bc, 2, m, n))
@@ -612,20 +647,21 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     if offset is None:
         bc = x_r.shape[0]
         kernel = functools.partial(_kernel_radix, float(n), radix, fac,
-                                   kcat2=kcat2, clip=clip, xsplit=xsplit)
+                                   kcat2=kcat2, clip=clip, xsplit=xsplit,
+                                   pair=pair)
         in_specs = [
-            pl.BlockSpec((1, 2, m, n), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((blk, 2, m, n), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(a_radix.shape), lambda b: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ]
-        out_spec = pl.BlockSpec((1, 1, mh), lambda b: (b, 0, 0),
+        out_spec = pl.BlockSpec((blk, 1, mh), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
-            grid=(bc,),
+            grid=(bc // blk,),
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((bc, 1, mh), jnp.float32),
@@ -635,12 +671,12 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         )(x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
     kernel = functools.partial(_kernel_radix_offset, float(n), radix, fac,
-                               salt is not None, kcat2, clip, xsplit)
+                               salt is not None, kcat2, clip, xsplit, pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bc,),
+        grid=(bc // blk,),
         in_specs=[
-            pl.BlockSpec((1, 2, m, n), lambda b, s: (s[0] + b, 0, 0, 0),
+            pl.BlockSpec((blk, 2, m, n), lambda b, s: (s[0] + b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(a_radix.shape), lambda b, s: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -649,16 +685,18 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
             pl.BlockSpec((4, n), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, mh), lambda b, s: (b, 0, 0),
+        out_specs=pl.BlockSpec((blk, 1, mh), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
+    # the SMEM offset is consumed by the index map in BLOCK units: halve
+    # bc-unit offsets when each block covers a pair
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bc, 1, mh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.stack([jnp.asarray(offset, jnp.int32),
+    )(jnp.stack([jnp.asarray(offset, jnp.int32) // blk,
                  jnp.asarray(salt if salt is not None else 0, jnp.int32)]),
       x_r, a_radix, wd.reshape(1, n), phasors)[:, 0, :]
 
