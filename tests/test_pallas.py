@@ -334,3 +334,27 @@ def test_radix_kernel_pair_rejects_odd_count():
             jnp.asarray(x), jnp.asarray(a_np), fac,
             jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
             interpret=True, pair=True)
+
+
+def test_pair_default_flip_safe_for_any_batch(monkeypatch):
+    """Flipping fullchain.X_PAIR (the module default the on-chip A/B may
+    pick) must keep the production processor oracle-correct for BOTH
+    parities of batch*channels: even counts pair, odd counts silently
+    fall back to the unpaired grid rather than erroring."""
+    import jax.numpy as jnp  # noqa: F401  (jax initialised by conftest)
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=7)
+    pow64 = oracle.channel_power(iq, cfg)
+    planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
+    monkeypatch.setattr(FC, "X_PAIR", True)
+    fn = FC.build_pallas_processor(consts, interpret=True)
+    got_odd = np.asarray(fn(planar[None]))[0]                  # bc = 3
+    got_even = np.asarray(fn(np.stack([planar, planar])))[0]   # bc = 6
+    for ch in range(cfg.num_channels):
+        assert oracle.relative_l2(pow64[ch], got_odd[ch]) < 2e-5
+        assert oracle.relative_l2(pow64[ch], got_even[ch]) < 2e-5

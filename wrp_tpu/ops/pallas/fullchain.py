@@ -725,8 +725,12 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
             x = iq_planar.reshape(b * c, two, m_, n)
             if not pre_permuted:
                 x = jnp.take(x, order, axis=2)
+            # honor the X_PAIR default only when the channel-sector count
+            # is even; odd batches fall back to the unpaired grid
             p = fused_chain_power_radix(x, a_radix, fac, wd, ph,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        pair=None if (b * c) % 2 == 0
+                                        else False)
             return p.reshape(b, c, -1)
 
         return fn
