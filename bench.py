@@ -196,6 +196,11 @@ def main():
             kcat2 = args.a_layout == "kcat2"
             if args.xpair and bcn % 2:
                 sys.exit(f"--xpair needs an even batch*channels; got {bcn}")
+            if args.xpair and args.sharded and (
+                    (args.batch // args.sharded) * c) % 2:
+                sys.exit("--xpair needs an even PER-DEVICE "
+                         "batch*channels under --sharded; got "
+                         f"{(args.batch // args.sharded) * c}")
 
             def power_at(x_all, off, salt, bc=bcn):
                 # bc must match the caller's slab size: the global bcn
@@ -208,6 +213,14 @@ def main():
                     kcat2=kcat2, clip=args.clip, xsplit=args.xsplit,
                     pair=args.xpair or None)
         else:
+            if args.xpair or args.xsplit or args.a_layout:
+                # the direct fallback kernel (non-radix geometries) has
+                # none of these knobs; recording them in the JSON would
+                # attribute the measured rate to configurations that
+                # never executed
+                sys.exit("--xpair/--xsplit/--a-layout apply to the radix "
+                         f"kernel only; geometry m={m} uses the direct "
+                         "kernel")
             a_split = put(FC.split_operator_host(consts.op_a_half))
 
             def power_at(x_all, off, salt, bc=bcn):

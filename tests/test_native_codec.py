@@ -155,3 +155,57 @@ def test_native_decode_radix_order_matches_permutation(ch, radix, rng):
     nat = native.decode_iq_i16(wire, m, n, ch)
     got = native.decode_iq_i16(wire, m, n, ch, radix=radix)
     np.testing.assert_array_equal(got, nat[:, :, radix_row_order(m, radix), :])
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3])
+@pytest.mark.parametrize("n", [8, 10, 7])      # 4-sample blocks + tails
+def test_native_encode_simd_paths_and_tails(ch, n, rng):
+    """The single-pass encoder's pshufb fast paths (ch=2 and ch=3), the
+    scalar fallback (other ch), and the samples % 4 tail must all emit
+    byte-identical wire vs the numpy layout transform (the decoder got
+    this parametrization when it was rewritten; the encoder's rewrite
+    must carry the same guarantee).  The numpy expectation is built
+    inline because odd pulse counts (the tail cases) are outside
+    RadarConfig's validated geometry but not outside the codec's."""
+    import pytest as _pytest
+
+    native = _pytest.importorskip("wrp_tpu.native.codec_native")
+
+    m = 6
+    planar = rng.integers(-8192, 8192, (ch, 2, m, n)).astype(np.float32)
+    planar[0, 0, 0, 0] = 99.5              # round-half-even cases
+    planar[0, 1, 0, 0] = -100.5
+    # wire layout: per sample, channel-major I/Q int16 BE
+    # (hhI hhQ vvI vvQ ...), matching io/codec.encode_iq
+    expect = (np.rint(planar).astype(np.int16)
+              .transpose(2, 3, 0, 1).reshape(m * n, ch * 2)
+              .astype(">i2").tobytes())
+    assert native.encode_iq(planar) == expect
+
+
+def test_native_encode_out_of_contract_values_consistent(rng):
+    """NaN and |f| >= 2^31 are out of contract (corrupt producer data),
+    but their encoding is pinned anyway: INT_MIN saturation -> low 16
+    bits 0 — and CRITICALLY the same bytes regardless of whether the
+    sample lands in a SIMD lane or the samples % 4 scalar tail (the tail
+    used to wrap via llrintf where the lanes saturated via cvtps)."""
+    import pytest as _pytest
+
+    native = _pytest.importorskip("wrp_tpu.native.codec_native")
+
+    ch, m = 3, 1
+    for n in (4, 7):                       # aligned + tail-covering
+        planar = rng.integers(-8192, 8192, (ch, 2, m, n)).astype(
+            np.float32)
+        garbage = [np.nan, 2.2e9, -2.2e9, np.inf, -np.inf, 3e38]
+        for j in range(n):                 # same value at every index
+            planar[0, 0, 0, j] = garbage[j % len(garbage)]
+        wire = np.frombuffer(native.encode_iq(planar),
+                             np.uint8).reshape(m * n, ch * 4)
+        for j in range(n):
+            g = garbage[j % len(garbage)]
+            hi, lo = wire[j, 0], wire[j, 1]
+            assert (hi, lo) == (0, 0), (n, j, g)
+        # in-contract samples around them still round-trip exactly
+        dec = native.decode_iq(native.encode_iq(planar), m, n, ch)
+        np.testing.assert_array_equal(dec[1:], np.rint(planar[1:]))

@@ -5,20 +5,28 @@ The fused radix kernel issues its contraction as [M=128, K=3M=384] @
 [K, N] bf16 dots with N = n = 512 (one channel-sector of pulses).  The
 trace-backed floor attribution (DESIGN.md §3) names "sub-100% MXU
 occupancy on K=384 dots" as one of the two remaining contributors; this
-probe measures exactly that, isolated from the kernel's casts, stacks,
-and epilogue: it times pure accumulating dot sequences of IDENTICAL
-total MACs at N in {512, 1024, 2048} — if the systolic array loses time
-to per-dot pipeline fill / weight-load bubbles, the wide-N variants run
-measurably faster per MAC, and a sector-pair kernel layout (two
-channel-sectors lane-concatenated into one N=1024 dot) is worth
-building.  If the three rates agree, the occupancy loss sits elsewhere
-(K-pass switching, result-bus contention) and the pairing lever is dead
-on arrival.
+probe measures exactly that, isolated from the kernel's casts, splits,
+and epilogue, in the production kernel's own structure: a resident
+A-operand set in VMEM (24 matrices of [128, 384] bf16 = 2.4 MB, the
+same footprint as the kernel's a_ref), a [K, W]-bf16 X block streamed
+per grid step by the block index map (grid-pipelined by Mosaic, like
+the kernel's x blocks — NO host/XLA-side slicing in the timed path),
+and IDENTICAL total MACs per step at every width: 24 dots @ W=512,
+12 @ 1024, 6 @ 2048.  Per-step HBM traffic (<=1.6 MB vs ~6 us of
+MXU work at peak) stays far under the compute time at every width, so
+the measured differences are dot-shape effects, not bandwidth.
 
-Elision-proofing: every grid step reads a different lane-slab of the
-staged operand (block index map over a distinct axis) and the outputs
-are reduced into the kernel result, which the host sums — no two steps
-compute the same function and nothing is DCE-able.
+If the per-step time shrinks with W, the loss is per-dot pipeline fill /
+weight-load bubbles and the sector-pair kernel layout (bench.py --xpair)
+should win; if the three widths agree, the occupancy loss sits elsewhere
+(K-pass switching, result-bus contention) and pairing is dead on
+arrival.
+
+Elision-proofing: the block index map cycles `distinct` staged slabs so
+consecutive steps read different data, every dot's product feeds the
+accumulated output, and each step writes a reduced [M] row the host
+sums.  Grid steps of one pallas_call execute unconditionally — there is
+no XLA loop around the timed body to hoist anything out of.
 
 Run on the TPU:  python tools/mxu_occupancy.py [--widths 512,1024,2048]
 """
@@ -28,8 +36,11 @@ import functools
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -41,24 +52,18 @@ def main():
                     help="total N lanes dotted per grid step (equal MACs "
                          "across widths); default = the production "
                          "kernel's 24 dots x 512 lanes per channel-step")
-    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=512)
     ap.add_argument("--distinct", type=int, default=4,
-                    help="distinct staged operand slabs cycled by the "
-                         "block index map")
+                    help="distinct staged X slabs cycled by the block "
+                         "index map")
     args = ap.parse_args()
 
-    import os
+    from wrp_tpu.cli import _honor_platform_env
+
+    _honor_platform_env()
 
     import jax
-
-    # the axon environment pre-sets jax_platforms="axon,cpu", which
-    # overrides JAX_PLATFORMS; honor an explicit CPU request (smoke runs)
-    if "cpu" in (os.environ.get("JAX_PLATFORMS", ""),
-                 os.environ.get("JAX_PLATFORM_NAME", "")):
-        jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
-    from jax import lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -67,15 +72,18 @@ def main():
 
     m, k = args.m, args.k
     widths = [int(w) for w in args.widths.split(",")]
+    wmax = max(widths)
     assert all(args.lanes_total % w == 0 for w in widths), widths
+    ndots_max = args.lanes_total // min(widths)
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    interp = jax.default_backend() != "tpu"
     rng = np.random.default_rng(0)
-    a_host = rng.standard_normal((m, k), dtype=np.float32)
+    a_host = rng.standard_normal((ndots_max, m, k), dtype=np.float32)
     a_d = jax.device_put(jnp.asarray(a_host, jnp.bfloat16), dev)
     x_host = rng.standard_normal(
-        (k, args.distinct * args.lanes_total), dtype=np.float32)
+        (k, args.distinct * wmax), dtype=np.float32)
     x_d = jax.block_until_ready(
         jax.device_put(jnp.asarray(x_host, jnp.bfloat16), dev))
 
@@ -83,43 +91,37 @@ def main():
 
     def build(width):
         ndots = args.lanes_total // width
+        wblocks = wmax // width   # X blocks per staged slab
 
         def kern(a_ref, x_ref, out_ref):
             dot = functools.partial(jnp.dot,
                                     preferred_element_type=jnp.float32)
             acc = None
             for d in range(ndots):
-                y = dot(a_ref[...], x_ref[:, d * width:(d + 1) * width])
-                # consume each dot: accumulate into a [m, width] carry
+                y = dot(a_ref[d], x_ref[...])
                 acc = y if acc is None else acc + y
-            out_ref[0, :, :] = acc
-
-        def step(i):
-            return pl.pallas_call(
-                kern,
-                grid=(1,),
-                in_specs=[
-                    pl.BlockSpec((m, k), lambda b: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((k, args.lanes_total),
-                                 lambda b: (0, b),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, m, width), lambda b: (0, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((1, m, width), jnp.float32),
-                interpret=jax.default_backend() != "tpu",
-            )(a_d, lax.dynamic_slice_in_dim(
-                x_d, (i % args.distinct) * args.lanes_total,
-                args.lanes_total, axis=1))[0]
+            out_ref[0, :] = jnp.sum(acc, axis=1)
 
         @jax.jit
         def timed():
-            def one(i, carry):
-                y = step(i)
-                return carry + jnp.sum(y, axis=-1)
-
-            return lax.fori_loop(0, args.steps, one, jnp.zeros(m))
+            out = pl.pallas_call(
+                kern,
+                grid=(args.steps,),
+                in_specs=[
+                    pl.BlockSpec((ndots, m, k), lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, width),
+                                 lambda b: (0, (b % args.distinct)
+                                            * wblocks),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, m), lambda b: (b, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((args.steps, m),
+                                               jnp.float32),
+                interpret=interp,
+            )(a_d, x_d)
+            return jnp.sum(out, axis=0)
 
         return timed
 
@@ -129,7 +131,7 @@ def main():
            "steps": args.steps}
     for width in widths:
         timed = build(width)
-        acc = np.asarray(timed())
+        acc = np.asarray(timed())        # compile + warm
         assert np.isfinite(acc).all(), width
         runs = []
         for _ in range(3):

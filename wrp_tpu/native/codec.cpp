@@ -213,14 +213,33 @@ void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
                            num_threads, radix);
 }
 
+// One sample's float -> wire int16 value, with EXACTLY the semantics of a
+// _mm_cvtps_epi32 lane: round to nearest-even, then NaN and anything
+// outside int32 range becomes INT_MIN, whose low 16 bits are 0.  Keeping
+// the scalar path bit-identical to the SIMD lanes matters because a
+// sector's samples%4 tail would otherwise encode the same (corrupt,
+// out-of-contract) float differently than its SIMD-lane neighbours —
+// and numpy's own float->int16 astype on x86 takes the same
+// cvt-saturate-truncate route, so all three encoders agree byte-for-byte
+// on ANY input, not just in-contract 14-bit values.
+static inline uint16_t encode_one_sample(float f) {
+  // every float satisfying this is <= 2147483520 after rounding; NaN
+  // fails the comparison and lands in the saturation branch with the
+  // out-of-range values
+  if (!(f >= -2147483648.0f && f < 2147483648.0f)) return 0;
+  return static_cast<uint16_t>(
+      static_cast<int64_t>(llrintf(f)) & 0xffff);
+}
+
 // planar float32 [ch][2][m][n] -> wire BE int16 interleaved (producer side).
-// Rounds to nearest-even like the Python encoder (np.round + astype), and
-// wraps out-of-range values mod 2^16 the same way numpy's astype does —
-// the two encoders must emit identical wire bytes for identical floats
-// (truncation-toward-zero here used to shift LSBs vs the Python path).
+// Rounds to nearest-even like the Python encoder (np.round + astype) and
+// wraps values mod 2^16 like numpy within int32 range (encode_one_sample
+// pins the out-of-range/NaN semantics) — the two encoders must emit
+// identical wire bytes for identical floats (truncation-toward-zero here
+// used to shift LSBs vs the Python path).
 // Single pass like the decoder: 4 samples per block, one 16-byte float
 // load per plane, cvtps_epi32 (round-to-nearest-even, NaN -> INT_MIN
-// whose low 16 bits are 0 — matching the scalar NaN -> 0 contract), then
+// whose low 16 bits are 0 — matching encode_one_sample), then
 // the interleave+byteswap as pshufb gathers into 2*ch output vectors.
 void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
                    int64_t ch) {
@@ -264,9 +283,7 @@ void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
     for (; s0 < total; ++s0) {  // samples % 4 tail
       uint8_t *dst = wire + static_cast<size_t>(s0) * stride;
       for (int p = 0; p < planes; ++p) {
-        const float f = planar[p * samples + s0];
-        const int64_t v64 = (f == f) ? llrintf(f) : 0;
-        const uint16_t vv = static_cast<uint16_t>(v64 & 0xffff);
+        const uint16_t vv = encode_one_sample(planar[p * samples + s0]);
         dst[2 * p] = static_cast<uint8_t>((vv >> 8) & 0xff);
         dst[2 * p + 1] = static_cast<uint8_t>(vv & 0xff);
       }
@@ -279,11 +296,7 @@ void wrp_encode_iq(const float *planar, uint8_t *wire, int64_t m, int64_t n,
     const float *src = planar + static_cast<size_t>(p) * samples;
     uint8_t *dst = wire + static_cast<size_t>(p) * 2;
     for (size_t s = 0; s < samples; ++s) {
-      const float f = src[s];
-      // NaN -> 0 (defined behaviour; inputs are integer-valued by
-      // contract, so this only triggers on corrupt data)
-      const int64_t v64 = (f == f) ? llrintf(f) : 0;
-      const uint16_t v = static_cast<uint16_t>(v64 & 0xffff);
+      const uint16_t v = encode_one_sample(src[s]);
       dst[s * stride] = static_cast<uint8_t>((v >> 8) & 0xff);
       dst[s * stride + 1] = static_cast<uint8_t>(v & 0xff);
     }

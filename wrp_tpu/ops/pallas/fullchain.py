@@ -641,6 +641,11 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         raise ValueError("pair=True needs an even channel-sector count; "
                          f"got {bc if offset is not None else x_r.shape[0]}")
     if offset is not None and interpret:
+        # match the compiled path's semantics exactly: there the SMEM
+        # offset feeds the index map in BLOCK units, so a pair grid
+        # floors odd offsets to the pair boundary — do the same here
+        # rather than silently diverging between the two backends
+        offset = (offset // blk) * blk
         x_r = jax.lax.dynamic_slice(
             x_r, (offset, 0, 0, 0), (bc, 2, m, n))
         offset = None

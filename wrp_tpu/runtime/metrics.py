@@ -122,8 +122,12 @@ class LatencyStats:
         with self._lock:
             if not self._samples:
                 return None
-            s = sorted(self._samples)
+            # only snapshot under the lock: sorting a full reservoir
+            # (100k floats) would stall the compute thread's record()
+            # and add jitter to the very latency being measured
+            s = list(self._samples)
             count = self.count
+        s.sort()
         def rank(p):
             return s[min(len(s) - 1, int(p * len(s)))]
         return {
