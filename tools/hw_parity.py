@@ -13,6 +13,9 @@ Prints one JSON line per method and exits non-zero on any failure.
 import argparse
 import json
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 THRESHOLDS = {           # relative L2 vs the fp64 oracle
@@ -34,6 +37,10 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
+
+    from wrp_tpu.cli import _honor_platform_env
+
+    _honor_platform_env()   # an explicit JAX_PLATFORMS request must win
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/wrp_tpu_jax_cache")
@@ -107,6 +114,29 @@ def main():
         "method": "pallas/clip-bin-adversarial", "device": str(dev),
         "pow_rel_l2": float(f"{ea:.3e}"), "pass": passed,
     }))
+
+    # Kernel A/B variants (round 3): the bench harness only gates the
+    # DEFAULT configuration's parity; pin the Mosaic-compiled accuracy of
+    # the selectable levers too, on the adversarial field stacked with
+    # plain noise (6 channel-sectors — even, as pair requires), fed as
+    # the wire-native int16 planar layout all variants accept.
+    noise = np.stack([iq[0].real, iq[0].imag], 1)
+    x6 = np.concatenate([planar, noise]).astype(np.int16)[:, :, order, :]
+    pow64_6 = np.concatenate([pow64, oracle.channel_power(iq[0], cfg)])
+    for name, kw in (("pallas/xsplit-int", dict(xsplit="int")),
+                     ("pallas/xpair", dict(pair=True)),
+                     ("pallas/xpair-int", dict(pair=True, xsplit="int"))):
+        got_v = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x6), jnp.asarray(a_np), fac,
+            jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
+            interpret=FC.use_interpret(), **kw))
+        ev = oracle.relative_l2(pow64_6, got_v)
+        passed = ev < 2e-5
+        ok &= passed
+        print(json.dumps({
+            "method": name, "device": str(dev),
+            "pow_rel_l2": float(f"{ev:.3e}"), "pass": passed,
+        }))
     return 0 if ok else 1
 
 
