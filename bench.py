@@ -57,13 +57,18 @@ def main():
                          "default = ops.pallas.fullchain.X_SPLIT; int = "
                          "integer-mask split, no f32 round-trip — needs "
                          "the i16 feed)")
-    ap.add_argument("--xpair", action="store_true",
+    ap.add_argument("--xpair", nargs="?", const="concat", default=None,
+                    choices=["concat", "pre"],
                     help="radix-kernel sector pairing (A/B harness; "
                          "default = ops.pallas.fullchain.X_PAIR): two "
                          "channel-sectors lane-concatenated per grid "
                          "step, so every MXU dot runs at N=2n — half "
                          "the dot count at identical MACs; needs an "
-                         "even batch*channels")
+                         "even batch*channels.  'concat' (the bare "
+                         "flag) pairs inside the kernel; 'pre' stages "
+                         "the input already lane-paired (the layout a "
+                         "pairing decoder would emit for free), "
+                         "isolating the in-kernel concat's cost")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -188,8 +193,13 @@ def main():
                 # the secondary with-h2d metric must not double-permute.
                 # (--sharded restages with its mesh sharding below; the
                 # single-device restage would be dead multi-GB H2D work.)
+                # --xpair pre stages the lane-paired layout directly
+                # (same bytes; a pairing decoder emits it for free).
+                host_stage = (FC.pair_lanes(host_iq.reshape(
+                    args.distinct * bcn, 2, m, n))
+                    if args.xpair == "pre" else host_iq)
                 dev_iq = jax.block_until_ready(
-                    jax.device_put(host_iq, dev))
+                    jax.device_put(host_stage, dev))
             proc = SectorProcessor(cfg, method="pallas", device=dev,
                                    layout="radix")
 
@@ -201,6 +211,10 @@ def main():
                 sys.exit("--xpair needs an even PER-DEVICE "
                          "batch*channels under --sharded; got "
                          f"{(args.batch // args.sharded) * c}")
+            if args.xpair == "pre" and args.sharded:
+                sys.exit("--xpair pre stages a repacked layout the "
+                         "sharded path does not build; use --xpair "
+                         "(concat) under --sharded")
 
             def power_at(x_all, off, salt, bc=bcn):
                 # bc must match the caller's slab size: the global bcn
@@ -231,7 +245,9 @@ def main():
 
         @jax.jit
         def timed_passes(iq_all):
-            x_all = iq_all.reshape(args.distinct * bcn, 2, m, n)
+            # pre-paired staging is already the kernel's flat layout
+            x_all = (iq_all if iq_all.ndim == 4
+                     else iq_all.reshape(args.distinct * bcn, 2, m, n))
 
             def one_step(i, carry):
                 off = (i % args.distinct) * bcn
@@ -370,7 +386,8 @@ def main():
         err1 = max(sharded_parity["mxu"], sharded_parity["halo"])
         thr0, thr1 = 1e-4, 1e-3
     elif args.method == "pallas":
-        x_flat = dev_iq.reshape(args.distinct * bcn, 2, m, n)
+        x_flat = (dev_iq if dev_iq.ndim == 4
+                  else dev_iq.reshape(args.distinct * bcn, 2, m, n))
         zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
 
         def _harness_zdb(salt):

@@ -358,3 +358,59 @@ def test_pair_default_flip_safe_for_any_batch(monkeypatch):
     for ch in range(cfg.num_channels):
         assert oracle.relative_l2(pow64[ch], got_odd[ch]) < 2e-5
         assert oracle.relative_l2(pow64[ch], got_even[ch]) < 2e-5
+
+
+def test_radix_kernel_prepaired_matches_pair_exactly():
+    """pair="pre" (input already lane-paired, [bc/2, 2, m, 2n]) must be
+    bit-identical to pair=True (in-kernel concat) — same arithmetic,
+    only the concat moves to the producer — for both x-splits, and on
+    the offset entry with bc/offset still in channel-sector units."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=37)
+    order = FC.radix_row_order(cfg.m, radix)
+    planar = np.stack([iq.real, iq.imag], 1)[:, :, order, :]
+    x4 = np.concatenate([planar, planar[:1]])
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    wd = jnp.asarray(consts.wd)
+    ph = jnp.asarray(consts.clip_phasors)
+    args = (jnp.asarray(a_np), fac, wd, ph)
+    for dt, xsplit in ((np.float32, "f32"), (np.int16, "int")):
+        x = x4.astype(dt)
+        want = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x), *args, interpret=True, pair=True,
+            xsplit=xsplit))
+        got = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(FC.pair_lanes(x)), *args, interpret=True,
+            pair="pre", xsplit=xsplit))
+        np.testing.assert_array_equal(got, want, err_msg=xsplit)
+    # offset entry over a pre-paired staged array
+    stage8 = FC.pair_lanes(np.concatenate([x4, x4]).astype(np.float32))
+    sliced = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(stage8), jnp.asarray(a_np), fac, wd, ph,
+        interpret=True, offset=4, bc=4, pair="pre"))
+    np.testing.assert_array_equal(
+        sliced,
+        np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x4.astype(np.float32)), *args, interpret=True,
+            pair=True)))
+
+
+def test_pair_lanes_layout():
+    """pair_lanes: sector 2q fills lanes [0, n), sector 2q+1 fills
+    [n, 2n), per plane and row."""
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    x = np.arange(4 * 2 * 3 * 5).reshape(4, 2, 3, 5)
+    p = FC.pair_lanes(x)
+    assert p.shape == (2, 2, 3, 10)
+    np.testing.assert_array_equal(p[0, :, :, :5], x[0])
+    np.testing.assert_array_equal(p[0, :, :, 5:], x[1])
+    np.testing.assert_array_equal(p[1, :, :, :5], x[2])
+    np.testing.assert_array_equal(p[1, :, :, 5:], x[3])

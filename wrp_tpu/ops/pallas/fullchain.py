@@ -352,6 +352,20 @@ X_SPLIT = "f32"
 X_PAIR = False
 
 
+def pair_lanes(x: np.ndarray) -> np.ndarray:
+    """[bc, 2, m, n] -> [bc/2, 2, m, 2n]: consecutive channel-sectors
+    lane-concatenated — the pair="pre" input layout.  In production this
+    transform is free: the wire decoder picks destination offsets anyway
+    (like the radix row order), so it can emit pairs directly; this
+    helper is for staging/test paths that start from the per-sector
+    layout."""
+    bc, two, m, n = x.shape
+    assert bc % 2 == 0, bc
+    return np.ascontiguousarray(
+        x.reshape(bc // 2, 2, two, m, n).transpose(0, 2, 3, 1, 4)
+        .reshape(bc // 2, two, m, 2 * n))
+
+
 def _split_int(v, lo_bits: int):
     """Exact hi/lo bf16 split of an integer plane via masking (no f32
     round-trip): v == hi + lo with hi a multiple of 2^lo_bits and
@@ -499,10 +513,14 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
             threads a distinct per-step salt through so no two steps
             compute the same function of the staged input (defeats any
             conceivable XLA loop-level reuse/CSE; bench.py).
-    pair:   process TWO channel-sectors per grid step (x_ref [2, 2, m, n],
-            pow_ref [2, 1, m/2]) with their pulse axes lane-concatenated,
-            so every dot/split/combine runs at width 2n — half the MXU
-            dot count at identical MACs (see X_PAIR).
+    pair:   process TWO channel-sectors per grid step with their pulse
+            axes lane-concatenated, so every dot/split/combine runs at
+            width 2n — half the MXU dot count at identical MACs (see
+            X_PAIR).  True/"concat": x_ref [2, 2, m, n], the kernel
+            concatenates.  "pre": x_ref [1, 2, m, 2n], the input arrives
+            already lane-paired (free at decode time, like the radix row
+            order) and the in-kernel concat disappears.  pow_ref is
+            [2, 1, m/2] either way.
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -512,13 +530,14 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
-    if pair:
+    if pair and pair != "pre":
         # lane-concat the pair's planes: one [m, 2n] block per plane; all
         # downstream VPU work is identical in total elements, the dots
         # halve in count and double in N
         vr = jnp.concatenate([x_ref[0, 0, :, :], x_ref[1, 0, :, :]], axis=1)
         vi = jnp.concatenate([x_ref[0, 1, :, :], x_ref[1, 1, :, :]], axis=1)
     else:
+        # unpaired [1, 2, m, n] or pre-paired [1, 2, m, 2n]
         vr = x_ref[0, 0, :, :]
         vi = x_ref[0, 1, :, :]
     # whole-sector splits hoisted out of the branch loop: one big VPU
@@ -624,7 +643,10 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     "int" requires integer input); pair processes two channel-sectors
     per grid step at 2n dot width (default X_PAIR; needs bc even, and
     with offset also an even offset — bc-unit offsets are halved into
-    pair-block units for the index map)."""
+    pair-block units for the index map).  pair may also be "pre": the
+    input arrives ALREADY lane-paired as [bc/2, 2, m, 2n] (decode-time
+    pairing, free like the radix row order) and the in-kernel concat
+    disappears; bc/offset stay in channel-sector units."""
     clip = clip or CLIP_MODE
     xsplit = xsplit or X_SPLIT
     pair = X_PAIR if pair is None else pair
@@ -634,12 +656,17 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
-    n = x_r.shape[-1]
+    pre = pair == "pre"
+    n = x_r.shape[-1] // 2 if pre else x_r.shape[-1]
     mh = (m // 2)
-    blk = 2 if pair else 1
-    if pair and (bc if offset is not None else x_r.shape[0]) % 2:
+    blk = 2 if pair else 1            # output channel-sectors per grid step
+    xblk = 1 if (pre or not pair) else 2   # x-array rows per grid step
+    xw = 2 * n if pre else n               # x block lane width
+    if pair and not pre and (bc if offset is not None else x_r.shape[0]) % 2:
         raise ValueError("pair=True needs an even channel-sector count; "
                          f"got {bc if offset is not None else x_r.shape[0]}")
+    if pre and offset is not None and bc % 2:
+        raise ValueError(f"pair='pre' needs an even bc; got {bc}")
     if offset is not None and interpret:
         # match the compiled path's semantics exactly: there the SMEM
         # offset feeds the index map in BLOCK units, so a pair grid
@@ -647,15 +674,16 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         # rather than silently diverging between the two backends
         offset = (offset // blk) * blk
         x_r = jax.lax.dynamic_slice(
-            x_r, (offset, 0, 0, 0), (bc, 2, m, n))
+            x_r, (offset // (2 if pre else 1), 0, 0, 0),
+            (bc // (2 if pre else 1), 2, m, xw))
         offset = None
     if offset is None:
-        bc = x_r.shape[0]
+        bc = 2 * x_r.shape[0] if pre else x_r.shape[0]
         kernel = functools.partial(_kernel_radix, float(n), radix, fac,
                                    kcat2=kcat2, clip=clip, xsplit=xsplit,
                                    pair=pair)
         in_specs = [
-            pl.BlockSpec((blk, 2, m, n), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((xblk, 2, m, xw), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(a_radix.shape), lambda b: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -681,7 +709,7 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         num_scalar_prefetch=1,
         grid=(bc // blk,),
         in_specs=[
-            pl.BlockSpec((blk, 2, m, n), lambda b, s: (s[0] + b, 0, 0, 0),
+            pl.BlockSpec((xblk, 2, m, xw), lambda b, s: (s[0] + b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(tuple(a_radix.shape), lambda b, s: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
