@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""One-staging A/B sweep of the radix-kernel variants (xsplit / xpair).
+
+bench.py measures one configuration per process, which means one ~1.6 GB
+staging per variant over a tunnel that delivers 0.01-1.7 GB/s on a bad
+day.  This tool stages the int16 slabs ONCE, derives the pre-paired
+layout on-device (a single HBM permute — the same bytes pair_lanes would
+stage), and then times every requested variant back-to-back under the
+exact bench.py methodology: per-step scalar-prefetch OFFSET + per-step
+SALT (elision-proof, DESIGN.md section 4), span ended by a D2H fetch,
+best-of-3, and a per-variant salt-0/salted parity gate against the
+unsharded SectorProcessor before anything is timed.
+
+Prints one JSON line per variant plus a final summary line; exits 1 if
+any variant fails its parity gate.  Run on the TPU; there is no
+interpret-mode value in timing these.
+
+Usage:
+  python tools/ab_sweep.py                      # the 6-variant sweep
+  python tools/ab_sweep.py --batch 128 --repeats 48
+  python tools/ab_sweep.py --variants kcat,int,pair,pair_pre,pair_int,pair_pre_int
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_3CH = 36.1   # prof/g7.prof, GeForce 930M
+
+#: name -> (xsplit, pair) per fused_chain_power_radix
+VARIANTS = {
+    "kcat":         (None, None),      # the round-3 production default
+    "int":          ("int", None),
+    "pair":         (None, True),      # in-kernel lane concat
+    "pair_pre":     (None, "pre"),     # input staged lane-paired
+    "pair_int":     ("int", True),
+    "pair_pre_int": ("int", "pre"),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--distinct", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=48,
+                    help="96 steps default: amortises the ~20-40 ms "
+                         "fixed dispatch cost to ~3%% (bench.py)")
+    ap.add_argument("--variants", default=",".join(VARIANTS),
+                    help="comma-separated subset of: " + ", ".join(VARIANTS))
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU run (interpret mode) — checks the "
+                         "harness plumbing, the timings are meaningless")
+    args = ap.parse_args()
+    names = [v for v in args.variants.split(",") if v]
+    for v in names:
+        if v not in VARIANTS:
+            sys.exit(f"unknown variant {v!r}; pick from {list(VARIANTS)}")
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wrp_tpu_jax_cache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from wrp_tpu import DEFAULT_CONFIG, tiny_config
+    from wrp_tpu.constants import PipelineConstants
+    from wrp_tpu.ops.pallas import fullchain as FC
+    from wrp_tpu.oracle import relative_l2
+    from wrp_tpu.pipeline import SectorProcessor, stage09_10_products
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = tiny_config(m=256, n=128)
+        args.batch, args.repeats = 4, 2
+    else:
+        cfg = DEFAULT_CONFIG
+    c, m, n = cfg.sector_shape
+    dev = jax.devices()[0]
+    bcn = args.batch * c
+    if bcn % 2:
+        sys.exit(f"pair variants need an even batch*channels; got {bcn}")
+    steps = args.distinct * args.repeats
+    radix = FC.radix_for(m)
+    assert radix > 1, f"geometry m={m} uses the direct kernel; nothing to A/B"
+    interp = FC.use_interpret()
+    print(f"device {dev}  batch {args.batch}  steps {steps}  "
+          f"variants {names}", file=sys.stderr)
+
+    consts = PipelineConstants.build(cfg)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    put = functools.partial(jax.device_put, device=dev)
+    a_radix = put(a_np)
+    wd_d = put(consts.wd)
+    ph_d = put(consts.clip_phasors)
+    gain_d = put(consts.gain)
+
+    rng = np.random.default_rng(0)
+    host_iq = rng.integers(-8192, 8192,
+                           (args.distinct, args.batch, c, 2, m, n),
+                           dtype=np.int16)
+    order = FC.radix_row_order(m, radix)
+    host_iq = np.ascontiguousarray(host_iq[:, :, :, :, order, :])
+
+    t0 = time.perf_counter()
+    dev_flat = jax.block_until_ready(put(
+        host_iq.reshape(args.distinct * bcn, 2, m, n)))
+    t_h2d = time.perf_counter() - t0
+    print(f"staged {host_iq.nbytes / 1e9:.2f} GB in {t_h2d:.1f} s "
+          f"({host_iq.nbytes / t_h2d / 1e9:.2f} GB/s)", file=sys.stderr)
+
+    # pre-paired layout derived ON DEVICE: same bytes pair_lanes() would
+    # stage ([bc, 2, m, n] -> [bc/2, 2, m, 2n]), one HBM permute instead
+    # of a second multi-GB H2D over the tunnel (layout identity is pinned
+    # by test_radix_kernel_prepaired_matches_pair_exactly).
+    @jax.jit
+    def _pair_dev(x):
+        bc = x.shape[0]
+        return (x.reshape(bc // 2, 2, 2, m, n)
+                .transpose(0, 2, 3, 1, 4).reshape(bc // 2, 2, m, 2 * n))
+
+    dev_paired = jax.block_until_ready(_pair_dev(dev_flat))
+
+    # parity reference: the unsharded production processor on slab 0
+    proc = SectorProcessor(cfg, method="pallas", device=dev, layout="radix")
+    zdb_ref = np.asarray(proc(put(host_iq[0]))[0])
+
+    results = []
+    failed = False
+    for name in names:
+        xsplit, pair = VARIANTS[name]
+        x_stage = dev_paired if pair == "pre" else dev_flat
+
+        def power_at(x_all, off, salt, xsplit=xsplit, pair=pair):
+            return FC.fused_chain_power_radix(
+                x_all, a_radix, fac, wd_d, ph_d, interpret=interp,
+                offset=off, bc=bcn, salt=salt, xsplit=xsplit, pair=pair)
+
+        @jax.jit
+        def timed_passes(x_all, power_at=power_at):
+            def one_step(i, carry):
+                off = (i % args.distinct) * bcn
+                pw = power_at(x_all, off, i).reshape(args.batch, c, -1)
+                zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1], gain_d)
+                return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                    jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
+
+            return lax.fori_loop(0, steps, one_step,
+                                 jnp.zeros(cfg.num_output_bins))
+
+        t0 = time.perf_counter()
+        np.asarray(timed_passes(x_stage))
+        t_compile = time.perf_counter() - t0
+
+        # parity gate (bench.py contract): salt=0 must reproduce the
+        # unsalted processor; a salted step must sit inside the documented
+        # cancellation residual.
+        def _zdb(salt, power_at=power_at):
+            pw = power_at(x_stage, 0, salt).reshape(args.batch, c, -1)
+            return np.asarray(
+                stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
+
+        err0 = relative_l2(zdb_ref, _zdb(0))
+        err1 = relative_l2(zdb_ref, _zdb(7))
+        ok = err0 < 1e-4 and err1 < 1e-3
+        failed |= not ok
+
+        runs = []
+        if ok:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = np.asarray(timed_passes(x_stage))
+                runs.append(time.perf_counter() - t0)
+            assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
+        rate = steps * args.batch / min(runs) if runs else 0.0
+        row = {
+            "variant": name,
+            "xsplit": xsplit,
+            "xpair": {True: "concat", "pre": "pre", None: None}[pair],
+            "sectors_per_second": round(rate, 2),
+            "vs_baseline": round(rate / BASELINE_3CH, 2),
+            "parity_rel_l2": [round(err0, 9), round(err1, 9)],
+            "parity_ok": ok,
+            "timed_runs_s": [round(r, 3) for r in runs],
+            "compile_s": round(t_compile, 1),
+            "batch": args.batch,
+            "steps": steps,
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    best = max(results, key=lambda r: r["sectors_per_second"])
+    print(json.dumps({
+        "summary": {r["variant"]: r["sectors_per_second"] for r in results},
+        "best": best["variant"],
+        "best_sectors_per_second": best["sectors_per_second"],
+        "device": str(dev),
+    }))
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
