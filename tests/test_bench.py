@@ -52,3 +52,28 @@ def test_bench_smoke_salted_xla_method():
     r = _run_bench("--method", "parseval")
     assert r["method"] == "parseval"
     assert r["parity_rel_l2"][1] < 1e-3
+
+
+def test_ab_sweep_smoke_contract():
+    """tools/ab_sweep.py (the one-staging variant sweep) must keep its
+    per-variant JSON contract and parity gates alive; a 2-variant subset
+    covering both the flat and the pre-paired staging keeps this fast."""
+    from conftest import cpu_subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, "tools/ab_sweep.py", "--smoke",
+         "--variants", "kcat,pair_pre_int"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env=cpu_subprocess_env())
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert len(lines) == 3   # 2 variants + summary
+    for row in lines[:2]:
+        assert row["parity_ok"], row
+        e0, e1 = row["parity_rel_l2"]
+        assert e0 < 1e-4 and e1 < 1e-3
+        assert row["sectors_per_second"] > 0
+    assert lines[0]["variant"] == "kcat" and lines[0]["xpair"] is None
+    assert lines[1]["variant"] == "pair_pre_int"
+    assert lines[1]["xsplit"] == "int" and lines[1]["xpair"] == "pre"
+    assert lines[2]["best"] in ("kcat", "pair_pre_int")
