@@ -100,7 +100,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from wrp_tpu import DEFAULT_CONFIG, tiny_config
+    from wrp_tpu.cli import _honor_platform_env
     from wrp_tpu.pipeline import SectorProcessor
+
+    # an explicit JAX_PLATFORMS request must win over the sitecustomize
+    # config default — otherwise a CPU-requested run initialises the TPU
+    # plugin and blocks forever on a wedged tunnel (cli/hw_parity do the
+    # same; the non-smoke path used to skip it)
+    _honor_platform_env()
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -180,6 +187,22 @@ def main():
         interp = FC.use_interpret()
         radix = FC.radix_for(m)
         if radix > 1:
+            # validate the --xpair request BEFORE the pair_lanes repack
+            # and the multi-GB restage below: a bad batch/channel count
+            # must exit with the friendly message, not an AssertionError
+            # after minutes of dead H2D work over the tunnel.
+            if args.xpair and bcn % 2:
+                sys.exit(f"--xpair needs an even batch*channels; got {bcn}")
+            if args.xpair and args.sharded and (
+                    (args.batch // args.sharded) * c) % 2:
+                sys.exit("--xpair needs an even PER-DEVICE "
+                         "batch*channels under --sharded; got "
+                         f"{(args.batch // args.sharded) * c}")
+            if args.xpair == "pre" and args.sharded:
+                sys.exit("--xpair pre stages a repacked layout the "
+                         "sharded path does not build; use --xpair "
+                         "(concat) under --sharded")
+
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
             # staging pre-permuted input matches the real ingest path.
@@ -204,17 +227,6 @@ def main():
                                    layout="radix")
 
             kcat2 = args.a_layout == "kcat2"
-            if args.xpair and bcn % 2:
-                sys.exit(f"--xpair needs an even batch*channels; got {bcn}")
-            if args.xpair and args.sharded and (
-                    (args.batch // args.sharded) * c) % 2:
-                sys.exit("--xpair needs an even PER-DEVICE "
-                         "batch*channels under --sharded; got "
-                         f"{(args.batch // args.sharded) * c}")
-            if args.xpair == "pre" and args.sharded:
-                sys.exit("--xpair pre stages a repacked layout the "
-                         "sharded path does not build; use --xpair "
-                         "(concat) under --sharded")
 
             def power_at(x_all, off, salt, bc=bcn):
                 # bc must match the caller's slab size: the global bcn

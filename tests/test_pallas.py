@@ -336,11 +336,14 @@ def test_radix_kernel_pair_rejects_odd_count():
             interpret=True, pair=True)
 
 
-def test_pair_default_flip_safe_for_any_batch(monkeypatch):
+@pytest.mark.parametrize("default", [True, "pre"])
+def test_pair_default_flip_safe_for_any_batch(monkeypatch, default):
     """Flipping fullchain.X_PAIR (the module default the on-chip A/B may
     pick) must keep the production processor oracle-correct for BOTH
     parities of batch*channels: even counts pair, odd counts silently
-    fall back to the unpaired grid rather than erroring."""
+    fall back to the unpaired grid rather than erroring.  A "pre"
+    default (decode-time pairing) must degrade to the in-kernel concat
+    here — the builder always feeds the unpaired layout."""
     import jax.numpy as jnp  # noqa: F401  (jax initialised by conftest)
 
     from wrp_tpu.config import tiny_config
@@ -351,7 +354,7 @@ def test_pair_default_flip_safe_for_any_batch(monkeypatch):
     iq = oracle.synthetic_iq(cfg, kind="noise", seed=7)
     pow64 = oracle.channel_power(iq, cfg)
     planar = np.stack([iq.real, iq.imag], 1).astype(np.float32)
-    monkeypatch.setattr(FC, "X_PAIR", True)
+    monkeypatch.setattr(FC, "X_PAIR", default)
     fn = FC.build_pallas_processor(consts, interpret=True)
     got_odd = np.asarray(fn(planar[None]))[0]                  # bc = 3
     got_even = np.asarray(fn(np.stack([planar, planar])))[0]   # bc = 6

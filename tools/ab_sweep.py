@@ -30,8 +30,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BASELINE_3CH = 36.1   # prof/g7.prof, GeForce 930M
-
 #: name -> (xsplit, pair) per fused_chain_power_radix
 VARIANTS = {
     "kcat":         (None, None),      # the round-3 production default
@@ -71,11 +69,15 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from bench import BASELINE_3CH
     from wrp_tpu import DEFAULT_CONFIG, tiny_config
+    from wrp_tpu.cli import _honor_platform_env
     from wrp_tpu.constants import PipelineConstants
     from wrp_tpu.ops.pallas import fullchain as FC
     from wrp_tpu.oracle import relative_l2
     from wrp_tpu.pipeline import SectorProcessor, stage09_10_products
+
+    _honor_platform_env()   # an explicit JAX_PLATFORMS request must win
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -120,14 +122,17 @@ def main():
     # pre-paired layout derived ON DEVICE: same bytes pair_lanes() would
     # stage ([bc, 2, m, n] -> [bc/2, 2, m, 2n]), one HBM permute instead
     # of a second multi-GB H2D over the tunnel (layout identity is pinned
-    # by test_radix_kernel_prepaired_matches_pair_exactly).
-    @jax.jit
-    def _pair_dev(x):
-        bc = x.shape[0]
-        return (x.reshape(bc // 2, 2, 2, m, n)
-                .transpose(0, 2, 3, 1, 4).reshape(bc // 2, 2, m, 2 * n))
+    # by test_radix_kernel_prepaired_matches_pair_exactly).  Built only
+    # when a requested variant reads it — it doubles HBM residency.
+    dev_paired = None
+    if any(VARIANTS[v][1] == "pre" for v in names):
+        @jax.jit
+        def _pair_dev(x):
+            bc = x.shape[0]
+            return (x.reshape(bc // 2, 2, 2, m, n)
+                    .transpose(0, 2, 3, 1, 4).reshape(bc // 2, 2, m, 2 * n))
 
-    dev_paired = jax.block_until_ready(_pair_dev(dev_flat))
+        dev_paired = jax.block_until_ready(_pair_dev(dev_flat))
 
     # parity reference: the unsharded production processor on slab 0
     proc = SectorProcessor(cfg, method="pallas", device=dev, layout="radix")

@@ -759,11 +759,18 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
             if not pre_permuted:
                 x = jnp.take(x, order, axis=2)
             # honor the X_PAIR default only when the channel-sector count
-            # is even; odd batches fall back to the unpaired grid
+            # is even; odd batches fall back to the unpaired grid.  This
+            # builder always feeds the UNPAIRED [bc, 2, m, n] layout, so
+            # an X_PAIR = "pre" module default (decode-time pairing)
+            # degrades to the in-kernel concat here — only a pairing
+            # decoder feeding fused_chain_power_radix directly can use
+            # "pre".
+            if (b * c) % 2:
+                p_arg = False
+            else:
+                p_arg = True if X_PAIR == "pre" else None
             p = fused_chain_power_radix(x, a_radix, fac, wd, ph,
-                                        interpret=interpret,
-                                        pair=None if (b * c) % 2 == 0
-                                        else False)
+                                        interpret=interpret, pair=p_arg)
             return p.reshape(b, c, -1)
 
         return fn
