@@ -58,17 +58,19 @@ def main():
                          "integer-mask split, no f32 round-trip — needs "
                          "the i16 feed)")
     ap.add_argument("--xpair", nargs="?", const="concat", default=None,
-                    choices=["concat", "pre"],
-                    help="radix-kernel sector pairing (A/B harness; "
-                         "default = ops.pallas.fullchain.X_PAIR): two "
+                    choices=["concat", "pre", "quad", "pre4"],
+                    help="radix-kernel sector grouping (A/B harness; "
+                         "default = ops.pallas.fullchain.X_PAIR): g "
                          "channel-sectors lane-concatenated per grid "
-                         "step, so every MXU dot runs at N=2n — half "
-                         "the dot count at identical MACs; needs an "
-                         "even batch*channels.  'concat' (the bare "
-                         "flag) pairs inside the kernel; 'pre' stages "
-                         "the input already lane-paired (the layout a "
-                         "pairing decoder would emit for free), "
-                         "isolating the in-kernel concat's cost")
+                         "step, so every MXU dot runs at N=g*n — 1/g "
+                         "the dot count at identical MACs; needs "
+                         "batch*channels divisible by g.  'concat' "
+                         "(the bare flag) pairs inside the kernel "
+                         "(g=2); 'pre' stages the input already "
+                         "lane-paired (the layout a pairing decoder "
+                         "would emit for free), isolating the "
+                         "in-kernel concat's cost; 'quad'/'pre4' are "
+                         "the g=4 variants")
     ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
@@ -191,17 +193,27 @@ def main():
             # and the multi-GB restage below: a bad batch/channel count
             # must exit with the friendly message, not an AssertionError
             # after minutes of dead H2D work over the tunnel.
-            if args.xpair and bcn % 2:
-                sys.exit(f"--xpair needs an even batch*channels; got {bcn}")
+            pair_arg = args.xpair or None
+            if pair_arg is None and FC.pair_group(None)[1]:
+                # a "pre" module default means decode-time grouping; the
+                # bench default path stages the FLAT layout, so degrade
+                # to the same group's in-kernel concat instead of
+                # misreading flat input as pre-grouped
+                pair_arg = FC.pair_group(None)[0]
+            g_pair, pre_pair = FC.pair_group(pair_arg or False)
+            if args.xpair and bcn % g_pair:
+                sys.exit(f"--xpair {args.xpair} needs batch*channels "
+                         f"divisible by {g_pair}; got {bcn}")
             if args.xpair and args.sharded and (
-                    (args.batch // args.sharded) * c) % 2:
-                sys.exit("--xpair needs an even PER-DEVICE "
-                         "batch*channels under --sharded; got "
+                    (args.batch // args.sharded) * c) % g_pair:
+                sys.exit(f"--xpair {args.xpair} needs a PER-DEVICE "
+                         f"batch*channels divisible by {g_pair} under "
+                         "--sharded; got "
                          f"{(args.batch // args.sharded) * c}")
-            if args.xpair == "pre" and args.sharded:
-                sys.exit("--xpair pre stages a repacked layout the "
+            if pre_pair and args.sharded:
+                sys.exit("--xpair pre/pre4 stages a repacked layout the "
                          "sharded path does not build; use --xpair "
-                         "(concat) under --sharded")
+                         "concat/quad under --sharded")
 
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
@@ -216,11 +228,12 @@ def main():
                 # the secondary with-h2d metric must not double-permute.
                 # (--sharded restages with its mesh sharding below; the
                 # single-device restage would be dead multi-GB H2D work.)
-                # --xpair pre stages the lane-paired layout directly
-                # (same bytes; a pairing decoder emits it for free).
+                # --xpair pre/pre4 stages the lane-grouped layout
+                # directly (same bytes; a grouping decoder emits it for
+                # free).
                 host_stage = (FC.pair_lanes(host_iq.reshape(
-                    args.distinct * bcn, 2, m, n))
-                    if args.xpair == "pre" else host_iq)
+                    args.distinct * bcn, 2, m, n), g=g_pair)
+                    if pre_pair else host_iq)
                 dev_iq = jax.block_until_ready(
                     jax.device_put(host_stage, dev))
             proc = SectorProcessor(cfg, method="pallas", device=dev,
@@ -237,7 +250,7 @@ def main():
                     x_all, a_radix, fac, wd_d, ph_d,
                     interpret=interp, offset=off, bc=bc, salt=salt,
                     kcat2=kcat2, clip=args.clip, xsplit=args.xsplit,
-                    pair=args.xpair or None)
+                    pair=pair_arg)
         else:
             if args.xpair or args.xsplit or args.a_layout:
                 # the direct fallback kernel (non-radix geometries) has

@@ -56,19 +56,20 @@ def test_bench_smoke_salted_xla_method():
 
 def test_ab_sweep_smoke_contract():
     """tools/ab_sweep.py (the one-staging variant sweep) must keep its
-    per-variant JSON contract and parity gates alive; a 2-variant subset
-    covering both the flat and the pre-paired staging keeps this fast."""
+    per-variant JSON contract and parity gates alive; a 3-variant subset
+    covering the flat, pre-paired, and pre-quadded stagings keeps this
+    fast."""
     from conftest import cpu_subprocess_env
 
     out = subprocess.run(
         [sys.executable, "tools/ab_sweep.py", "--smoke",
-         "--variants", "kcat,pair_pre_int"],
+         "--variants", "kcat,pair_pre_int,quad_pre_int"],
         cwd=REPO, capture_output=True, text=True, timeout=300,
         env=cpu_subprocess_env())
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
     lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
-    assert len(lines) == 3   # 2 variants + summary
-    for row in lines[:2]:
+    assert len(lines) == 4   # 3 variants + summary
+    for row in lines[:3]:
         assert row["parity_ok"], row
         e0, e1 = row["parity_rel_l2"]
         assert e0 < 1e-4 and e1 < 1e-3
@@ -76,4 +77,6 @@ def test_ab_sweep_smoke_contract():
     assert lines[0]["variant"] == "kcat" and lines[0]["xpair"] is None
     assert lines[1]["variant"] == "pair_pre_int"
     assert lines[1]["xsplit"] == "int" and lines[1]["xpair"] == "pre"
-    assert lines[2]["best"] in ("kcat", "pair_pre_int")
+    assert lines[2]["variant"] == "quad_pre_int"
+    assert lines[2]["xsplit"] == "int" and lines[2]["xpair"] == "pre4"
+    assert lines[3]["best"] in ("kcat", "pair_pre_int", "quad_pre_int")

@@ -336,7 +336,7 @@ def test_radix_kernel_pair_rejects_odd_count():
             interpret=True, pair=True)
 
 
-@pytest.mark.parametrize("default", [True, "pre"])
+@pytest.mark.parametrize("default", [True, "pre", 4, "pre4"])
 def test_pair_default_flip_safe_for_any_batch(monkeypatch, default):
     """Flipping fullchain.X_PAIR (the module default the on-chip A/B may
     pick) must keep the production processor oracle-correct for BOTH
@@ -407,7 +407,7 @@ def test_radix_kernel_prepaired_matches_pair_exactly():
 
 def test_pair_lanes_layout():
     """pair_lanes: sector 2q fills lanes [0, n), sector 2q+1 fills
-    [n, 2n), per plane and row."""
+    [n, 2n), per plane and row; g=4 analogously."""
     from wrp_tpu.ops.pallas import fullchain as FC
 
     x = np.arange(4 * 2 * 3 * 5).reshape(4, 2, 3, 5)
@@ -417,3 +417,76 @@ def test_pair_lanes_layout():
     np.testing.assert_array_equal(p[0, :, :, 5:], x[1])
     np.testing.assert_array_equal(p[1, :, :, :5], x[2])
     np.testing.assert_array_equal(p[1, :, :, 5:], x[3])
+    q = FC.pair_lanes(x, g=4)
+    assert q.shape == (1, 2, 3, 20)
+    for i in range(4):
+        np.testing.assert_array_equal(q[0, :, :, 5 * i:5 * (i + 1)], x[i])
+
+
+def test_pair_group_decode():
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    assert FC.pair_group(False) == (1, False)
+    assert FC.pair_group(True) == (2, False)
+    assert FC.pair_group("concat") == (2, False)
+    assert FC.pair_group(2) == (2, False)
+    assert FC.pair_group("pre") == (2, True)
+    assert FC.pair_group(4) == (4, False)
+    assert FC.pair_group("quad") == (4, False)
+    assert FC.pair_group("pre4") == (4, True)
+    assert FC.pair_group("quad_pre") == (4, True)
+    with pytest.raises(ValueError, match="unknown pair mode"):
+        FC.pair_group(3)
+
+
+def test_radix_kernel_quad_matches_unpaired_exactly():
+    """pair=4 (four channel-sectors lane-concatenated into N=4n dots)
+    computes column-for-column the SAME arithmetic as the unpaired
+    kernel, so the outputs must be bit-identical — for both x-splits;
+    pre4 (input already lane-grouped) must in turn be bit-identical to
+    the in-kernel quad concat, incl. on the offset entry with bc/offset
+    still in channel-sector units."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=53)
+    order = FC.radix_row_order(cfg.m, radix)
+    planar = np.stack([iq.real, iq.imag], 1)[:, :, order, :]
+    x4 = np.concatenate([planar, planar[:1]])   # 4 channel-sectors
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    wd = jnp.asarray(consts.wd)
+    ph = jnp.asarray(consts.clip_phasors)
+    args = (jnp.asarray(a_np), fac, wd, ph)
+    for dt, xsplit in ((np.float32, "f32"), (np.int16, "int")):
+        x = x4.astype(dt)
+        base = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x), *args, interpret=True, xsplit=xsplit,
+            pair=False))
+        quad = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(x), *args, interpret=True, xsplit=xsplit,
+            pair=4))
+        np.testing.assert_array_equal(quad, base, err_msg=xsplit)
+        pre = np.asarray(FC.fused_chain_power_radix(
+            jnp.asarray(FC.pair_lanes(x, g=4)), *args, interpret=True,
+            xsplit=xsplit, pair="pre4"))
+        np.testing.assert_array_equal(pre, quad, err_msg=xsplit)
+    # offset entry, both layouts: 8 staged channel-sectors, slab [4:8)
+    x8 = np.concatenate([x4, x4]).astype(np.float32)
+    want = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(x4.astype(np.float32)), *args, interpret=True, pair=4))
+    sliced = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(x8), *args, interpret=True, offset=4, bc=4, pair=4))
+    np.testing.assert_array_equal(sliced, want)
+    sliced_pre = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(FC.pair_lanes(x8, g=4)), *args, interpret=True,
+        offset=4, bc=4, pair="pre4"))
+    np.testing.assert_array_equal(sliced_pre, want)
+    # count not divisible by the group: hard error, not silent fallback
+    with pytest.raises(ValueError, match="divisible by 4"):
+        FC.fused_chain_power_radix(
+            jnp.asarray(x8[:6]), *args, interpret=True, pair=4)

@@ -34,10 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = {
     "kcat":         (None, None),      # the round-3 production default
     "int":          ("int", None),
-    "pair":         (None, True),      # in-kernel lane concat
+    "pair":         (None, True),      # in-kernel lane concat, g=2
     "pair_pre":     (None, "pre"),     # input staged lane-paired
     "pair_int":     ("int", True),
     "pair_pre_int": ("int", "pre"),
+    "quad":         (None, 4),         # g=4: N=2048 dots
+    "quad_pre":     (None, "pre4"),
+    "quad_int":     ("int", 4),
+    "quad_pre_int": ("int", "pre4"),
 }
 
 
@@ -88,8 +92,11 @@ def main():
     c, m, n = cfg.sector_shape
     dev = jax.devices()[0]
     bcn = args.batch * c
-    if bcn % 2:
-        sys.exit(f"pair variants need an even batch*channels; got {bcn}")
+    for v in names:
+        gv = FC.pair_group(VARIANTS[v][1] or False)[0]
+        if bcn % gv:
+            sys.exit(f"variant {v} needs batch*channels divisible by "
+                     f"{gv}; got {bcn}")
     steps = args.distinct * args.repeats
     radix = FC.radix_for(m)
     assert radix > 1, f"geometry m={m} uses the direct kernel; nothing to A/B"
@@ -119,20 +126,23 @@ def main():
     print(f"staged {host_iq.nbytes / 1e9:.2f} GB in {t_h2d:.1f} s "
           f"({host_iq.nbytes / t_h2d / 1e9:.2f} GB/s)", file=sys.stderr)
 
-    # pre-paired layout derived ON DEVICE: same bytes pair_lanes() would
-    # stage ([bc, 2, m, n] -> [bc/2, 2, m, 2n]), one HBM permute instead
-    # of a second multi-GB H2D over the tunnel (layout identity is pinned
-    # by test_radix_kernel_prepaired_matches_pair_exactly).  Built only
-    # when a requested variant reads it — it doubles HBM residency.
-    dev_paired = None
-    if any(VARIANTS[v][1] == "pre" for v in names):
-        @jax.jit
-        def _pair_dev(x):
+    # pre-grouped layouts derived ON DEVICE: same bytes pair_lanes(g)
+    # would stage ([bc, 2, m, n] -> [bc/g, 2, m, g*n]), one HBM permute
+    # instead of a second multi-GB H2D over the tunnel (layout identity
+    # is pinned by test_radix_kernel_prepaired_matches_pair_exactly /
+    # ..._quad_...).  Built only for group sizes a requested variant
+    # reads — each doubles HBM residency.
+    dev_pre = {}
+    for g in sorted({FC.pair_group(VARIANTS[v][1] or False)[0]
+                     for v in names
+                     if FC.pair_group(VARIANTS[v][1] or False)[1]}):
+        @functools.partial(jax.jit, static_argnums=1)
+        def _group_dev(x, g):
             bc = x.shape[0]
-            return (x.reshape(bc // 2, 2, 2, m, n)
-                    .transpose(0, 2, 3, 1, 4).reshape(bc // 2, 2, m, 2 * n))
+            return (x.reshape(bc // g, g, 2, m, n)
+                    .transpose(0, 2, 3, 1, 4).reshape(bc // g, 2, m, g * n))
 
-        dev_paired = jax.block_until_ready(_pair_dev(dev_flat))
+        dev_pre[g] = jax.block_until_ready(_group_dev(dev_flat, g))
 
     # parity reference: the unsharded production processor on slab 0
     proc = SectorProcessor(cfg, method="pallas", device=dev, layout="radix")
@@ -142,7 +152,8 @@ def main():
     failed = False
     for name in names:
         xsplit, pair = VARIANTS[name]
-        x_stage = dev_paired if pair == "pre" else dev_flat
+        g, pre = FC.pair_group(pair or False)
+        x_stage = dev_pre[g] if pre else dev_flat
 
         def power_at(x_all, off, salt, xsplit=xsplit, pair=pair):
             return FC.fused_chain_power_radix(
@@ -161,9 +172,22 @@ def main():
             return lax.fori_loop(0, steps, one_step,
                                  jnp.zeros(cfg.num_output_bins))
 
-        t0 = time.perf_counter()
-        np.asarray(timed_passes(x_stage))
-        t_compile = time.perf_counter() - t0
+        # a variant that fails to COMPILE (e.g. a quad layout blowing the
+        # VMEM budget) must not kill the sweep: record it and move on —
+        # the whole point is a decision from one staging window
+        try:
+            t0 = time.perf_counter()
+            np.asarray(timed_passes(x_stage))
+            t_compile = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failed = True
+            row = {"variant": name, "xsplit": xsplit, "xpair": pair
+                   if isinstance(pair, str) else ({True: "concat", 4: "quad",
+                                                   None: None}[pair]),
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            results.append(row)
+            print(json.dumps(row))
+            continue
 
         # parity gate (bench.py contract): salt=0 must reproduce the
         # unsalted processor; a salted step must sit inside the documented
@@ -189,7 +213,8 @@ def main():
         row = {
             "variant": name,
             "xsplit": xsplit,
-            "xpair": {True: "concat", "pre": "pre", None: None}[pair],
+            "xpair": pair if isinstance(pair, str)
+            else {True: "concat", 4: "quad", None: None}[pair],
             "sectors_per_second": round(rate, 2),
             "vs_baseline": round(rate / BASELINE_3CH, 2),
             "parity_rel_l2": [round(err0, 9), round(err1, 9)],
@@ -202,11 +227,12 @@ def main():
         results.append(row)
         print(json.dumps(row))
 
-    best = max(results, key=lambda r: r["sectors_per_second"])
+    best = max(results, key=lambda r: r.get("sectors_per_second", 0.0))
     print(json.dumps({
-        "summary": {r["variant"]: r["sectors_per_second"] for r in results},
+        "summary": {r["variant"]: r.get("sectors_per_second")
+                    for r in results},
         "best": best["variant"],
-        "best_sectors_per_second": best["sectors_per_second"],
+        "best_sectors_per_second": best.get("sectors_per_second", 0.0),
         "device": str(dev),
     }))
     if failed:

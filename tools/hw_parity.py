@@ -123,14 +123,20 @@ def main():
     noise = np.stack([iq[0].real, iq[0].imag], 1)
     x6 = np.concatenate([planar, noise]).astype(np.int16)[:, :, order, :]
     pow64_6 = np.concatenate([pow64, oracle.channel_power(iq[0], cfg)])
+    x12 = np.concatenate([x6, x6])           # quad needs a multiple of 4
+    pow64_12 = np.concatenate([pow64_6, pow64_6])
     for name, kw in (("pallas/xsplit-int", dict(xsplit="int")),
                      ("pallas/xpair", dict(pair=True)),
-                     ("pallas/xpair-int", dict(pair=True, xsplit="int"))):
+                     ("pallas/xpair-int", dict(pair=True, xsplit="int")),
+                     ("pallas/xquad", dict(pair=4)),
+                     ("pallas/xquad-int", dict(pair=4, xsplit="int"))):
+        quad = FC.pair_group(kw.get("pair") or False)[0] == 4
+        x_v, pow_v = (x12, pow64_12) if quad else (x6, pow64_6)
         got_v = np.asarray(FC.fused_chain_power_radix(
-            jnp.asarray(x6), jnp.asarray(a_np), fac,
+            jnp.asarray(x_v), jnp.asarray(a_np), fac,
             jnp.asarray(consts.wd), jnp.asarray(consts.clip_phasors),
             interpret=FC.use_interpret(), **kw))
-        ev = oracle.relative_l2(pow64_6, got_v)
+        ev = oracle.relative_l2(pow_v, got_v)
         passed = ev < 2e-5
         ok &= passed
         print(json.dumps({

@@ -340,9 +340,10 @@ A_LAYOUT = "kcat"
 X_SPLIT = "f32"
 
 
-#: whether the radix kernel processes channel-sectors in PAIRS, with the
-#: two sectors' pulse axes concatenated along lanes so every MXU dot runs
-#: at N=2n=1024 instead of N=512 — half the dot count at identical MACs.
+#: whether the radix kernel processes channel-sectors in GROUPS (pairs
+#: or quads — see pair_group), with the sectors' pulse axes concatenated
+#: along lanes so every MXU dot runs at N=g*n (1024/2048) instead of
+#: N=512 — 1/g the dot count at identical MACs.
 #: Motivation: the trace-backed floor attribution (DESIGN.md §3) names
 #: sub-100% MXU occupancy on the [128, 384] @ [384, 512] dots; if the
 #: loss is per-dot pipeline fill / weight-load bubbles, wider-N dots
@@ -352,18 +353,43 @@ X_SPLIT = "f32"
 X_PAIR = False
 
 
-def pair_lanes(x: np.ndarray) -> np.ndarray:
-    """[bc, 2, m, n] -> [bc/2, 2, m, 2n]: consecutive channel-sectors
-    lane-concatenated — the pair="pre" input layout.  In production this
-    transform is free: the wire decoder picks destination offsets anyway
-    (like the radix row order), so it can emit pairs directly; this
-    helper is for staging/test paths that start from the per-sector
-    layout."""
+def pair_group(pair) -> tuple[int, bool]:
+    """Decode a pair/group request into (group_size, pre_staged).
+
+    None resolves the module default X_PAIR; False/0 -> (1, False);
+    True/"concat"/2 -> (2, False); "pre" -> (2, True); 4/"quad" ->
+    (4, False); "pre4"/"quad_pre" -> (4, True).  Group 4 is the
+    generalization the MXU-occupancy probe (tools/mxu_occupancy.py) may
+    motivate: if W=2048 dots beat W=1024, four sectors per grid step
+    amortise per-dot overhead further than pairs."""
+    if pair is None:
+        pair = X_PAIR
+    if not pair:
+        return 1, False
+    if pair in (True, "concat", 2):
+        return 2, False
+    if pair == "pre":
+        return 2, True
+    if pair in (4, "quad"):
+        return 4, False
+    if pair in ("pre4", "quad_pre"):
+        return 4, True
+    raise ValueError(f"unknown pair mode {pair!r}: use False, True, "
+                     "'concat', 'pre', 4, 'quad', 'pre4', or 'quad_pre'")
+
+
+def pair_lanes(x: np.ndarray, g: int = 2) -> np.ndarray:
+    """[bc, 2, m, n] -> [bc/g, 2, m, g*n]: g consecutive channel-sectors
+    lane-concatenated — the pair="pre" (g=2) / "pre4" (g=4) input
+    layout.  In production this transform is free: the wire decoder
+    picks destination offsets anyway (like the radix row order), so it
+    can emit groups directly; this helper is for staging/test paths
+    that start from the per-sector layout."""
     bc, two, m, n = x.shape
-    assert bc % 2 == 0, bc
+    assert bc % g == 0, (bc, g)
     return np.ascontiguousarray(
-        x.reshape(bc // 2, 2, two, m, n).transpose(0, 2, 3, 1, 4)
-        .reshape(bc // 2, two, m, 2 * n))
+        x.reshape(bc // g, g, two, m, n).transpose(0, 2, 3, 1, 4)
+        .reshape(bc // g, two, m, g * n))
 
 
 def _split_int(v, lo_bits: int):
@@ -513,14 +539,15 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
             threads a distinct per-step salt through so no two steps
             compute the same function of the staged input (defeats any
             conceivable XLA loop-level reuse/CSE; bench.py).
-    pair:   process TWO channel-sectors per grid step with their pulse
-            axes lane-concatenated, so every dot/split/combine runs at
-            width 2n — half the MXU dot count at identical MACs (see
-            X_PAIR).  True/"concat": x_ref [2, 2, m, n], the kernel
-            concatenates.  "pre": x_ref [1, 2, m, 2n], the input arrives
-            already lane-paired (free at decode time, like the radix row
-            order) and the in-kernel concat disappears.  pow_ref is
-            [2, 1, m/2] either way.
+    pair:   process a GROUP of g channel-sectors per grid step with
+            their pulse axes lane-concatenated, so every
+            dot/split/combine runs at width g*n — 1/g the MXU dot count
+            at identical MACs (see X_PAIR / pair_group).  g=2:
+            True/"concat" (x_ref [2, 2, m, n], the kernel concatenates)
+            or "pre" (x_ref [1, 2, m, 2n], the input arrives already
+            lane-paired — free at decode time, like the radix row
+            order — and the in-kernel concat disappears).  g=4:
+            4/"quad" and "pre4" analogously.  pow_ref is [g, 1, m/2].
     """
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -530,14 +557,15 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
-    if pair and pair != "pre":
-        # lane-concat the pair's planes: one [m, 2n] block per plane; all
-        # downstream VPU work is identical in total elements, the dots
-        # halve in count and double in N
-        vr = jnp.concatenate([x_ref[0, 0, :, :], x_ref[1, 0, :, :]], axis=1)
-        vi = jnp.concatenate([x_ref[0, 1, :, :], x_ref[1, 1, :, :]], axis=1)
+    g, pre = pair_group(pair or False)
+    if g > 1 and not pre:
+        # lane-concat the group's planes: one [m, g*n] block per plane;
+        # all downstream VPU work is identical in total elements, the
+        # dots divide by g in count and multiply by g in N
+        vr = jnp.concatenate([x_ref[i, 0, :, :] for i in range(g)], axis=1)
+        vi = jnp.concatenate([x_ref[i, 1, :, :] for i in range(g)], axis=1)
     else:
-        # unpaired [1, 2, m, n] or pre-paired [1, 2, m, 2n]
+        # ungrouped [1, 2, m, n] or pre-grouped [1, 2, m, g*n]
         vr = x_ref[0, 0, :, :]
         vi = x_ref[0, 1, :, :]
     # whole-sector splits hoisted out of the branch loop: one big VPU
@@ -603,8 +631,8 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     yi = jnp.concatenate(Yi, axis=0)
 
     wd = wd_ref[0]
-    n_i = wd.shape[0]    # per-sector pulse count (yr is [mh, 2*n_i] paired)
-    for sct in range(2 if pair else 1):
+    n_i = wd.shape[0]    # per-sector pulse count (yr is [mh, g*n_i] grouped)
+    for sct in range(g):
         lanes = slice(sct * n_i, (sct + 1) * n_i)
         qr = yr[:, lanes] * wd
         qi = yi[:, lanes] * wd
@@ -640,13 +668,15 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     the two-dot K-concat pattern (same operand array as kcat); clip
     selects the clip-bin formulation (default CLIP_MODE, see
     _clip_subtract); xsplit the x-side hi/lo split (default X_SPLIT,
-    "int" requires integer input); pair processes two channel-sectors
-    per grid step at 2n dot width (default X_PAIR; needs bc even, and
-    with offset also an even offset — bc-unit offsets are halved into
-    pair-block units for the index map).  pair may also be "pre": the
-    input arrives ALREADY lane-paired as [bc/2, 2, m, 2n] (decode-time
-    pairing, free like the radix row order) and the in-kernel concat
-    disappears; bc/offset stay in channel-sector units."""
+    "int" requires integer input); pair processes a group of g channel-
+    sectors per grid step at g*n dot width (default X_PAIR; see
+    pair_group for the accepted modes — pairs g=2, quads g=4; needs bc
+    divisible by g, and with offset also a g-aligned offset — bc-unit
+    offsets are divided into group-block units for the index map).
+    "pre"/"pre4" mean the input arrives ALREADY lane-grouped as
+    [bc/g, 2, m, g*n] (decode-time grouping, free like the radix row
+    order) and the in-kernel concat disappears; bc/offset stay in
+    channel-sector units."""
     clip = clip or CLIP_MODE
     xsplit = xsplit or X_SPLIT
     pair = X_PAIR if pair is None else pair
@@ -656,29 +686,33 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
-    pre = pair == "pre"
-    n = x_r.shape[-1] // 2 if pre else x_r.shape[-1]
+    g, pre = pair_group(pair or False)
+    n = x_r.shape[-1] // g if pre else x_r.shape[-1]
     mh = (m // 2)
-    blk = 2 if pair else 1            # output channel-sectors per grid step
-    xblk = 1 if (pre or not pair) else 2   # x-array rows per grid step
-    xw = 2 * n if pre else n               # x block lane width
-    if pair and not pre and (bc if offset is not None else x_r.shape[0]) % 2:
-        raise ValueError("pair=True needs an even channel-sector count; "
-                         f"got {bc if offset is not None else x_r.shape[0]}")
-    if pre and offset is not None and bc % 2:
-        raise ValueError(f"pair='pre' needs an even bc; got {bc}")
+    blk = g                           # output channel-sectors per grid step
+    xblk = 1 if pre else g            # x-array rows per grid step
+    xw = g * n if pre else n          # x block lane width
+    if g > 1 and not pre and (
+            bc if offset is not None else x_r.shape[0]) % g:
+        raise ValueError(
+            f"pair={pair!r} needs a channel-sector count divisible by {g} "
+            "(even for pairs); got "
+            f"{bc if offset is not None else x_r.shape[0]}")
+    if pre and offset is not None and bc % g:
+        raise ValueError(f"pair={pair!r} needs bc divisible by {g} "
+                         f"(even for pairs); got {bc}")
     if offset is not None and interpret:
         # match the compiled path's semantics exactly: there the SMEM
-        # offset feeds the index map in BLOCK units, so a pair grid
-        # floors odd offsets to the pair boundary — do the same here
-        # rather than silently diverging between the two backends
+        # offset feeds the index map in BLOCK units, so a grouped grid
+        # floors unaligned offsets to the group boundary — do the same
+        # here rather than silently diverging between the two backends
         offset = (offset // blk) * blk
         x_r = jax.lax.dynamic_slice(
-            x_r, (offset // (2 if pre else 1), 0, 0, 0),
-            (bc // (2 if pre else 1), 2, m, xw))
+            x_r, (offset // (g if pre else 1), 0, 0, 0),
+            (bc // (g if pre else 1), 2, m, xw))
         offset = None
     if offset is None:
-        bc = 2 * x_r.shape[0] if pre else x_r.shape[0]
+        bc = g * x_r.shape[0] if pre else x_r.shape[0]
         kernel = functools.partial(_kernel_radix, float(n), radix, fac,
                                    kcat2=kcat2, clip=clip, xsplit=xsplit,
                                    pair=pair)
@@ -721,8 +755,8 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
         out_specs=pl.BlockSpec((blk, 1, mh), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    # the SMEM offset is consumed by the index map in BLOCK units: halve
-    # bc-unit offsets when each block covers a pair
+    # the SMEM offset is consumed by the index map in BLOCK units: divide
+    # bc-unit offsets by the group size when each block covers a group
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -759,16 +793,21 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
             if not pre_permuted:
                 x = jnp.take(x, order, axis=2)
             # honor the X_PAIR default only when the channel-sector count
-            # is even; odd batches fall back to the unpaired grid.  This
-            # builder always feeds the UNPAIRED [bc, 2, m, n] layout, so
-            # an X_PAIR = "pre" module default (decode-time pairing)
-            # degrades to the in-kernel concat here — only a pairing
+            # divides by the group; otherwise degrade to the largest
+            # group that does (4 -> 2 -> unpaired).  This builder always
+            # feeds the UNGROUPED [bc, 2, m, n] layout, so an X_PAIR =
+            # "pre"/"pre4" module default (decode-time grouping)
+            # degrades to the in-kernel concat here — only a grouping
             # decoder feeding fused_chain_power_radix directly can use
-            # "pre".
-            if (b * c) % 2:
-                p_arg = False
+            # the pre layouts.
+            g_def, pre_def = pair_group(None)
+            bc_tot = b * c
+            if g_def >= 4 and bc_tot % 4 == 0:
+                p_arg = 4 if pre_def else None
+            elif g_def >= 2 and bc_tot % 2 == 0:
+                p_arg = True if (pre_def or g_def > 2) else None
             else:
-                p_arg = True if X_PAIR == "pre" else None
+                p_arg = False
             p = fused_chain_power_radix(x, a_radix, fac, wd, ph,
                                         interpret=interpret, pair=p_arg)
             return p.reshape(b, c, -1)
