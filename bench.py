@@ -166,6 +166,7 @@ def main():
 
     steps = args.distinct * args.repeats
 
+    xpair_eff = args.xpair or None   # effective grouping; resolved below
     if args.method == "pallas":
         # Elision-proof loop for the fused kernel: Pallas inputs cannot
         # alias a scanned slice (XLA would copy the whole batch in front of
@@ -200,13 +201,18 @@ def main():
                 # to the same group's in-kernel concat instead of
                 # misreading flat input as pre-grouped
                 pair_arg = FC.pair_group(None)[0]
-            g_pair, pre_pair = FC.pair_group(pair_arg or False)
-            if args.xpair and bcn % g_pair:
-                sys.exit(f"--xpair {args.xpair} needs batch*channels "
+            # guards key on the RESOLVED configuration (pair_arg=None
+            # still means the X_PAIR module default), so a flipped
+            # default gets the same friendly pre-staging exits as an
+            # explicit flag
+            g_pair, pre_pair = FC.pair_group(pair_arg)
+            xpair_eff = FC.pair_name(pair_arg)
+            if g_pair > 1 and bcn % g_pair:
+                sys.exit(f"xpair={xpair_eff} needs batch*channels "
                          f"divisible by {g_pair}; got {bcn}")
-            if args.xpair and args.sharded and (
+            if g_pair > 1 and args.sharded and (
                     (args.batch // args.sharded) * c) % g_pair:
-                sys.exit(f"--xpair {args.xpair} needs a PER-DEVICE "
+                sys.exit(f"xpair={xpair_eff} needs a PER-DEVICE "
                          f"batch*channels divisible by {g_pair} under "
                          "--sharded; got "
                          f"{(args.batch // args.sharded) * c}")
@@ -482,7 +488,10 @@ def main():
         "a_layout": args.a_layout,
         "clip": args.clip,
         "xsplit": args.xsplit,
-        "xpair": args.xpair or None,
+        # the EFFECTIVE grouping (module default resolved, pre degraded
+        # to concat for flat staging) — the configuration that actually
+        # executed, not merely the flag
+        "xpair": xpair_eff,
         "matched_filter": args.matched_filter,
         "device": str(dev),
         "geometry": f"{cfg.num_channels}x{cfg.m}x{cfg.n}",

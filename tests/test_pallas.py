@@ -358,9 +358,13 @@ def test_pair_default_flip_safe_for_any_batch(monkeypatch, default):
     fn = FC.build_pallas_processor(consts, interpret=True)
     got_odd = np.asarray(fn(planar[None]))[0]                  # bc = 3
     got_even = np.asarray(fn(np.stack([planar, planar])))[0]   # bc = 6
+    # bc = 12 exercises the quad branch itself (not just its degrades)
+    # when the default is a group-of-4 mode
+    got_x4 = np.asarray(fn(np.stack([planar] * 4)))[0]
     for ch in range(cfg.num_channels):
         assert oracle.relative_l2(pow64[ch], got_odd[ch]) < 2e-5
         assert oracle.relative_l2(pow64[ch], got_even[ch]) < 2e-5
+        assert oracle.relative_l2(pow64[ch], got_x4[ch]) < 2e-5
 
 
 def test_radix_kernel_prepaired_matches_pair_exactly():
@@ -427,6 +431,7 @@ def test_pair_group_decode():
     from wrp_tpu.ops.pallas import fullchain as FC
 
     assert FC.pair_group(False) == (1, False)
+    assert FC.pair_group(1) == (1, False)   # int 1 is NOT bool True
     assert FC.pair_group(True) == (2, False)
     assert FC.pair_group("concat") == (2, False)
     assert FC.pair_group(2) == (2, False)

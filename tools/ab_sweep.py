@@ -16,9 +16,9 @@ any variant fails its parity gate.  Run on the TPU; there is no
 interpret-mode value in timing these.
 
 Usage:
-  python tools/ab_sweep.py                      # the 6-variant sweep
+  python tools/ab_sweep.py                      # the full 10-variant sweep
   python tools/ab_sweep.py --batch 128 --repeats 48
-  python tools/ab_sweep.py --variants kcat,int,pair,pair_pre,pair_int,pair_pre_int
+  python tools/ab_sweep.py --variants kcat,pair,pair_pre,quad,quad_pre
 """
 
 import argparse
@@ -30,10 +30,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: name -> (xsplit, pair) per fused_chain_power_radix
+#: name -> (xsplit, pair) per fused_chain_power_radix.  pair is always
+#: EXPLICIT (False = unpaired), never None: None would resolve the
+#: X_PAIR module default inside the kernel, so the moment the A/B flips
+#: that default the baseline rows would silently measure (and
+#: mislabel) a different configuration than their name claims.
 VARIANTS = {
-    "kcat":         (None, None),      # the round-3 production default
-    "int":          ("int", None),
+    "kcat":         (None, False),     # the round-3 production default
+    "int":          ("int", False),
     "pair":         (None, True),      # in-kernel lane concat, g=2
     "pair_pre":     (None, "pre"),     # input staged lane-paired
     "pair_int":     ("int", True),
@@ -93,7 +97,7 @@ def main():
     dev = jax.devices()[0]
     bcn = args.batch * c
     for v in names:
-        gv = FC.pair_group(VARIANTS[v][1] or False)[0]
+        gv = FC.pair_group(VARIANTS[v][1])[0]
         if bcn % gv:
             sys.exit(f"variant {v} needs batch*channels divisible by "
                      f"{gv}; got {bcn}")
@@ -133,9 +137,9 @@ def main():
     # ..._quad_...).  Built only for group sizes a requested variant
     # reads — each doubles HBM residency.
     dev_pre = {}
-    for g in sorted({FC.pair_group(VARIANTS[v][1] or False)[0]
+    for g in sorted({FC.pair_group(VARIANTS[v][1])[0]
                      for v in names
-                     if FC.pair_group(VARIANTS[v][1] or False)[1]}):
+                     if FC.pair_group(VARIANTS[v][1])[1]}):
         @functools.partial(jax.jit, static_argnums=1)
         def _group_dev(x, g):
             bc = x.shape[0]
@@ -152,7 +156,7 @@ def main():
     failed = False
     for name in names:
         xsplit, pair = VARIANTS[name]
-        g, pre = FC.pair_group(pair or False)
+        g, pre = FC.pair_group(pair)
         x_stage = dev_pre[g] if pre else dev_flat
 
         def power_at(x_all, off, salt, xsplit=xsplit, pair=pair):
@@ -181,9 +185,8 @@ def main():
             t_compile = time.perf_counter() - t0
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failed = True
-            row = {"variant": name, "xsplit": xsplit, "xpair": pair
-                   if isinstance(pair, str) else ({True: "concat", 4: "quad",
-                                                   None: None}[pair]),
+            row = {"variant": name, "xsplit": xsplit,
+                   "xpair": FC.pair_name(pair),
                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
             results.append(row)
             print(json.dumps(row))
@@ -213,8 +216,7 @@ def main():
         row = {
             "variant": name,
             "xsplit": xsplit,
-            "xpair": pair if isinstance(pair, str)
-            else {True: "concat", 4: "quad", None: None}[pair],
+            "xpair": FC.pair_name(pair),
             "sectors_per_second": round(rate, 2),
             "vs_baseline": round(rate / BASELINE_3CH, 2),
             "parity_rel_l2": [round(err0, 9), round(err1, 9)],

@@ -364,18 +364,36 @@ def pair_group(pair) -> tuple[int, bool]:
     amortise per-dot overhead further than pairs."""
     if pair is None:
         pair = X_PAIR
-    if not pair:
-        return 1, False
-    if pair in (True, "concat", 2):
+    if pair is True:          # before the int tests: True == 1
         return 2, False
-    if pair == "pre":
+    if not pair:              # False / 0
+        return 1, False
+    if isinstance(pair, int):
+        if pair in (1, 2, 4):
+            return pair, False
+    elif pair == "concat":
+        return 2, False
+    elif pair == "pre":
         return 2, True
-    if pair in (4, "quad"):
+    elif pair == "quad":
         return 4, False
-    if pair in ("pre4", "quad_pre"):
+    elif pair in ("pre4", "quad_pre"):
         return 4, True
     raise ValueError(f"unknown pair mode {pair!r}: use False, True, "
-                     "'concat', 'pre', 4, 'quad', 'pre4', or 'quad_pre'")
+                     "'concat', 'pre', 1, 2, 4, 'quad', 'pre4', or "
+                     "'quad_pre'")
+
+
+def pair_name(pair) -> str | None:
+    """Canonical bench/JSON label for a pair mode: None (unpaired),
+    "concat", "pre", "quad", or "pre4" — derived through pair_group
+    (None resolves the module default) so every harness labels the
+    EFFECTIVE configuration the same way."""
+    g, pre = pair_group(pair)
+    if g == 1:
+        return None
+    return {(2, False): "concat", (2, True): "pre",
+            (4, False): "quad", (4, True): "pre4"}[(g, pre)]
 
 
 def pair_lanes(x: np.ndarray, g: int = 2) -> np.ndarray:
