@@ -209,3 +209,95 @@ def test_native_encode_out_of_contract_values_consistent(rng):
         # in-contract samples around them still round-trip exactly
         dec = native.decode_iq(native.encode_iq(planar), m, n, ch)
         np.testing.assert_array_equal(dec[1:], np.rint(planar[1:]))
+
+
+@pytest.mark.parametrize("ch", [2, 3])
+@pytest.mark.parametrize("group", [2, 4])
+@pytest.mark.parametrize("radix", [1, 8])
+def test_native_decode_grouped_matches_pair_lanes(ch, group, radix, rng):
+    """Grouped emit (the pair="pre"/"pre4" device-feed layout written
+    during the decode pass) must equal pair_lanes() applied to the
+    plain per-sector decode — including channel-sectors straddling
+    sector boundaries (ch=3 with group 2/4) and radix row order."""
+    from wrp_tpu.ops.pallas.fullchain import pair_lanes
+
+    m, n = 32, 12
+    sectors = 4                            # total_cs = 8 or 12
+    total_cs = sectors * ch
+    assert total_cs % group == 0
+    wires = [bytes(rng.integers(0, 256, m * n * ch * 4, np.uint8))
+             for _ in range(sectors)]
+    flat = np.concatenate([
+        native.decode_iq_i16(w, m, n, ch, radix=radix) for w in wires])
+    want = pair_lanes(flat.reshape(total_cs, 2, m, n), g=group)
+    stage = np.zeros((total_cs // group, 2, m, group * n), np.int16)
+    for s, w in enumerate(wires):
+        native.decode_iq_i16_grouped(w, m, n, ch, stage, s, group,
+                                     radix=radix)
+    np.testing.assert_array_equal(stage, want)
+
+
+def test_codec_grouped_numpy_fallback_matches_native(rng, monkeypatch):
+    """The io.codec numpy fallback for grouped emit must byte-match the
+    native scatter."""
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+
+    cfg = tiny_config(m=32, n=12)
+    ch, m, n = cfg.num_channels, cfg.m, cfg.n
+    sectors, group = 4, 2
+    wires = [bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+             for _ in range(sectors)]
+    stage_nat = np.zeros((sectors * ch // group, 2, m, group * n), np.int16)
+    stage_np = np.zeros_like(stage_nat)
+    for s, w in enumerate(wires):
+        codec.decode_iq_i16_grouped(w, stage_nat, s, group, cfg, radix=8)
+    monkeypatch.setattr(codec, "_native", None)
+    for s, w in enumerate(wires):
+        codec.decode_iq_i16_grouped(w, stage_np, s, group, cfg, radix=8)
+    np.testing.assert_array_equal(stage_np, stage_nat)
+
+
+def test_native_decode_grouped_rejects_bad_stage(rng):
+    cfg_m, cfg_n, ch = 32, 12, 3
+    wire = bytes(rng.integers(0, 256, cfg_m * cfg_n * ch * 4, np.uint8))
+    good = np.zeros((6, 2, cfg_m, 2 * cfg_n), np.int16)
+    with pytest.raises(ValueError, match="stage must be"):
+        native.decode_iq_i16_grouped(
+            wire, cfg_m, cfg_n, ch,
+            np.zeros((6, 2, cfg_m, cfg_n), np.int16), 0, 2)
+    with pytest.raises(ValueError, match="beyond"):
+        native.decode_iq_i16_grouped(wire, cfg_m, cfg_n, ch, good, 4, 2)
+    with pytest.raises(ValueError):        # non-contiguous
+        native.decode_iq_i16_grouped(
+            wire, cfg_m, cfg_n, ch,
+            np.zeros((6, 2, cfg_m, 4 * cfg_n), np.int16)[..., ::2], 0, 2)
+    # a short wire buffer must be rejected before the native read
+    with pytest.raises(ValueError, match="too short"):
+        native.decode_iq_i16_grouped(wire[:100], cfg_m, cfg_n, ch,
+                                     good, 0, 2)
+
+
+def test_native_decode_grouped_throughput_parity(rng):
+    """The 'decode-time grouping is free' claim, measured: the grouped
+    emit must not be meaningfully slower than the plain planar emit
+    (same loops, different destination offsets).  Generous 30% slack
+    absorbs CI noise; a structural regression (extra pass/copy) would
+    be 2x."""
+    cfg = DEFAULT_CONFIG
+    wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
+    stage = np.zeros((2 * 3 // 2, 2, cfg.m, 2 * cfg.n), np.int16)
+    k = 8
+    native.decode_iq_i16(wire, cfg.m, cfg.n, 3, radix=8)          # warm
+    t0 = time.perf_counter()
+    for _ in range(k):
+        native.decode_iq_i16(wire, cfg.m, cfg.n, 3, radix=8)
+    t_plain = time.perf_counter() - t0
+    native.decode_iq_i16_grouped(wire, cfg.m, cfg.n, 3, stage, 0, 2,
+                                 radix=8)                         # warm
+    t0 = time.perf_counter()
+    for _ in range(k):
+        native.decode_iq_i16_grouped(wire, cfg.m, cfg.n, 3, stage, 0, 2,
+                                     radix=8)
+    t_grouped = time.perf_counter() - t0
+    assert t_grouped < 1.3 * t_plain, (t_plain, t_grouped)

@@ -72,6 +72,38 @@ def decode_iq_i16(buf: bytes | bytearray | memoryview | np.ndarray,
     return out
 
 
+def decode_iq_i16_grouped(buf, stage: np.ndarray, slot: int, group: int,
+                          cfg: RadarConfig = DEFAULT_CONFIG,
+                          radix: int = 1) -> None:
+    """Decode ONE wire sector directly into a lane-grouped staging
+    buffer ``stage[total_cs/group, 2, m, group*n]`` (int16) at batch
+    slot ``slot`` — the pair="pre"/"pre4" kernel input layout
+    (ops/pallas/fullchain.pair_lanes), emitted by the decode pass
+    itself.  Channel-sector ``i = slot*ch + c`` lands in group
+    ``i//group``, lane block ``i%group``; with the native codec this
+    costs the same as the plain planar emit (identical loops, different
+    destination offsets)."""
+    m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    if _native is not None:
+        _native.decode_iq_i16_grouped(buf, m, n, ch, stage, slot, group,
+                                      radix=radix)
+        return
+    if stage.dtype != np.int16 or stage.shape[1:] != (2, m, group * n):
+        raise ValueError(
+            f"stage must be int16 [cs/{group}, 2, {m}, {group * n}]; "
+            f"got {stage.dtype} {stage.shape}")
+    i_last = slot * ch + ch - 1
+    if slot < 0 or i_last // group >= stage.shape[0]:
+        raise ValueError(
+            f"slot {slot} writes channel-sector {i_last}, beyond the "
+            f"stage's {stage.shape[0] * group} channel-sectors")
+    planar = decode_iq_i16(buf, cfg, radix=radix)
+    for c in range(ch):
+        i = slot * ch + c
+        lane = (i % group) * n
+        stage[i // group, :, :, lane:lane + n] = planar[c]
+
+
 def to_complex(planar: np.ndarray) -> np.ndarray:
     """[C, 2, m, n] float32 -> [C, m, n] complex64."""
     return (planar[:, 0] + 1j * planar[:, 1]).astype(np.complex64)

@@ -96,18 +96,18 @@ inline void decode_block4(const uint8_t *s, const ShuffleMasks<CH> &mk,
 
 template <int CH, typename T>
 void decode_rows_simd(const uint8_t *wire, T *out, int64_t m, int64_t n,
-                      int64_t r0, int64_t r1, int32_t radix) {
+                      int64_t r0, int64_t r1, int32_t radix,
+                      int64_t pitch, const int64_t *poff) {
   static const ShuffleMasks<CH> mk;
   constexpr int planes = 2 * CH;
-  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
   const size_t row_bytes = static_cast<size_t>(n) * planes * 2;
   for (int64_t r = r0; r < r1; ++r) {
     const uint8_t *s = wire + static_cast<size_t>(r) * row_bytes;
     const int64_t dr = dest_row(r, m, radix);
     T *d[planes];
     for (int p = 0; p < planes; ++p)
-      d[p] = out + static_cast<size_t>(p) * samples +
-             static_cast<size_t>(dr) * n;
+      d[p] = out + static_cast<size_t>(poff[p]) +
+             static_cast<size_t>(dr) * static_cast<size_t>(pitch);
     int64_t j = 0;
     for (; j + 4 <= n; j += 4, s += 16 * CH) {
       __m128i b[planes];
@@ -133,16 +133,16 @@ void decode_rows_simd(const uint8_t *wire, T *out, int64_t m, int64_t n,
 // the 2*ch re-reads of a row stay in L1 (a row is a few KB).
 template <typename T>
 void decode_rows_scalar(const uint8_t *wire, T *out, int64_t m, int64_t n,
-                        int ch, int64_t r0, int64_t r1, int32_t radix) {
+                        int ch, int64_t r0, int64_t r1, int32_t radix,
+                        int64_t pitch, const int64_t *poff) {
   const int planes = ch * 2;
-  const size_t samples = static_cast<size_t>(m) * static_cast<size_t>(n);
   const size_t row_bytes = static_cast<size_t>(n) * planes * 2;
   for (int64_t r = r0; r < r1; ++r) {
     const uint8_t *src = wire + static_cast<size_t>(r) * row_bytes;
     const int64_t dr = dest_row(r, m, radix);
     for (int p = 0; p < planes; ++p) {
-      T *dst = out + static_cast<size_t>(p) * samples +
-               static_cast<size_t>(dr) * n;
+      T *dst = out + static_cast<size_t>(poff[p]) +
+               static_cast<size_t>(dr) * static_cast<size_t>(pitch);
       const uint8_t *s = src + 2 * p;
       for (int64_t j = 0; j < n; ++j, s += planes * 2)
         dst[j] = static_cast<T>(be16(s));
@@ -152,32 +152,40 @@ void decode_rows_scalar(const uint8_t *wire, T *out, int64_t m, int64_t n,
 
 template <typename T>
 void decode_rows(const uint8_t *wire, T *out, int64_t m, int64_t n, int ch,
-                 int64_t r0, int64_t r1, int32_t radix) {
+                 int64_t r0, int64_t r1, int32_t radix, int64_t pitch,
+                 const int64_t *poff) {
 #ifdef WRP_SIMD_DECODE
   if (ch == 3) {
-    decode_rows_simd<3, T>(wire, out, m, n, r0, r1, radix);
+    decode_rows_simd<3, T>(wire, out, m, n, r0, r1, radix, pitch, poff);
     return;
   }
   if (ch == 2) {
-    decode_rows_simd<2, T>(wire, out, m, n, r0, r1, radix);
+    decode_rows_simd<2, T>(wire, out, m, n, r0, r1, radix, pitch, poff);
     return;
   }
 #endif
-  decode_rows_scalar<T>(wire, out, m, n, ch, r0, r1, radix);
+  decode_rows_scalar<T>(wire, out, m, n, ch, r0, r1, radix, pitch, poff);
 }
 
 // Partition range rows over up to num_threads workers (contiguous row
 // blocks: each worker's reads AND writes stay sequential).  One thread
 // (the measured best on small-core hosts) runs inline, no pool.
+// pitch = destination row stride in elements; poff[p] = plane p's base
+// element offset into out.  The plain planar layout is pitch=n,
+// poff[p]=p*m*n; the grouped device-feed layout (see
+// wrp_decode_iq_i16_grouped) only changes these numbers — the decode
+// loops and their cost are identical, which is what makes decode-time
+// grouping free.
 template <typename T>
 void decode_threaded(const uint8_t *wire, T *out, int64_t m, int64_t n,
-                     int ch, int32_t num_threads, int32_t radix) {
+                     int ch, int32_t num_threads, int32_t radix,
+                     int64_t pitch, const int64_t *poff) {
   constexpr int64_t kMinRowsPerWorker = 32;
   const int workers = static_cast<int>(
       std::max<int64_t>(1, std::min<int64_t>(num_threads,
                                              m / kMinRowsPerWorker)));
   if (workers <= 1) {
-    decode_rows<T>(wire, out, m, n, ch, 0, m, radix);
+    decode_rows<T>(wire, out, m, n, ch, 0, m, radix, pitch, poff);
     return;
   }
   std::vector<std::thread> pool;
@@ -187,9 +195,18 @@ void decode_threaded(const uint8_t *wire, T *out, int64_t m, int64_t n,
     const int64_t r0 = w * chunk;
     const int64_t r1 = std::min<int64_t>(m, r0 + chunk);
     pool.emplace_back(
-        [=] { decode_rows<T>(wire, out, m, n, ch, r0, r1, radix); });
+        [=] { decode_rows<T>(wire, out, m, n, ch, r0, r1, radix, pitch,
+                             poff); });
   }
   for (auto &t : pool) t.join();
+}
+
+// Per-plane base offsets for the plain planar [ch, 2, m, n] layout.
+std::vector<int64_t> planar_offsets(int64_t m, int64_t n, int ch) {
+  std::vector<int64_t> poff(static_cast<size_t>(ch) * 2);
+  for (size_t p = 0; p < poff.size(); ++p)
+    poff[p] = static_cast<int64_t>(p) * m * n;
+  return poff;
 }
 
 }  // namespace
@@ -199,8 +216,9 @@ extern "C" {
 // wire[m*n*ch*4] BE int16 interleaved -> out[ch*2*m*n] float32 planar.
 void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
                    int64_t ch, int32_t num_threads) {
+  const auto poff = planar_offsets(m, n, static_cast<int>(ch));
   decode_threaded<float>(wire, out, m, n, static_cast<int>(ch), num_threads,
-                         1);
+                         1, n, poff.data());
 }
 
 // wire BE int16 interleaved -> int16 planar (compact device-feed layout:
@@ -209,8 +227,34 @@ void wrp_decode_iq(const uint8_t *wire, float *out, int64_t m, int64_t n,
 void wrp_decode_iq_i16(const uint8_t *wire, int16_t *out, int64_t m,
                        int64_t n, int64_t ch, int32_t num_threads,
                        int32_t radix) {
+  const auto poff = planar_offsets(m, n, static_cast<int>(ch));
   decode_threaded<int16_t>(wire, out, m, n, static_cast<int>(ch),
-                           num_threads, radix);
+                           num_threads, radix, n, poff.data());
+}
+
+// Grouped device-feed emit: scatter ONE wire sector (batch slot `slot`)
+// into a caller-owned staging buffer of lane-grouped channel-sectors
+// stage[total_cs/group][2][m][group*n] (the pair="pre"/"pre4" input of
+// ops/pallas/fullchain.fused_chain_power_radix: channel-sector
+// i = slot*ch + c lands in group i/group, lane block i%group).  Same
+// single-pass loops as wrp_decode_iq_i16 — only the destination offsets
+// and the row pitch differ, so decode-time grouping costs nothing over
+// the plain planar emit (the claim pair_lanes()' docstring makes,
+// measured by tests/test_native_codec.py).
+void wrp_decode_iq_i16_grouped(const uint8_t *wire, int16_t *stage,
+                               int64_t m, int64_t n, int64_t ch,
+                               int32_t num_threads, int32_t radix,
+                               int32_t group, int64_t slot) {
+  const int64_t gn = static_cast<int64_t>(group) * n;
+  std::vector<int64_t> poff(static_cast<size_t>(ch) * 2);
+  for (int c = 0; c < static_cast<int>(ch); ++c) {
+    const int64_t i = slot * ch + c;
+    for (int iq = 0; iq < 2; ++iq)
+      poff[static_cast<size_t>(2 * c + iq)] =
+          ((i / group) * 2 + iq) * (m * gn) + (i % group) * n;
+  }
+  decode_threaded<int16_t>(wire, stage, m, n, static_cast<int>(ch),
+                           num_threads, radix, gn, poff.data());
 }
 
 // One sample's float -> wire int16 value, with EXACTLY the semantics of a

@@ -27,6 +27,11 @@ _lib.wrp_decode_iq_i16.argtypes = [
     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
     ctypes.c_int32,
 ]
+_lib.wrp_decode_iq_i16_grouped.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+    ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+]
 _lib.wrp_encode_iq.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -99,6 +104,38 @@ def decode_iq_i16(wire, m: int, n: int, ch: int,
     _lib.wrp_decode_iq_i16(src.ctypes.data, out.ctypes.data, m, n, ch,
                            num_threads, radix)
     return out
+
+
+def decode_iq_i16_grouped(wire, m: int, n: int, ch: int,
+                          stage: np.ndarray, slot: int, group: int,
+                          num_threads: int = _DEFAULT_THREADS,
+                          radix: int = 1) -> None:
+    """Scatter ONE wire sector into a lane-grouped staging buffer
+    stage[total_cs/group, 2, m, group*n] at batch slot `slot` — the
+    pair="pre"/"pre4" device-feed layout, emitted during the decode
+    pass itself (same loops as decode_iq_i16; only destination offsets
+    change)."""
+    if group < 1 or stage.ndim != 4:
+        raise ValueError(f"need group >= 1 and a 4-d stage; got {group}, "
+                         f"{stage.shape}")
+    _check_out(stage, stage.shape, np.int16)
+    if stage.shape[1:] != (2, m, group * n):
+        raise ValueError(f"stage must be [cs/{group}, 2, {m}, {group * n}]"
+                         f"; got {stage.shape}")
+    if radix > 1 and m % radix:
+        raise ValueError(f"radix {radix} must divide m={m}")
+    i_last = slot * ch + ch - 1
+    if slot < 0 or i_last // group >= stage.shape[0]:
+        raise ValueError(
+            f"slot {slot} writes channel-sector {i_last}, beyond the "
+            f"stage's {stage.shape[0] * group} channel-sectors")
+    src = _as_u8(wire)
+    if src.size < m * n * ch * 4:   # see decode_iq: OOB-read guard
+        raise ValueError(
+            f"wire buffer too short: {src.size} < {m * n * ch * 4}")
+    _lib.wrp_decode_iq_i16_grouped(src.ctypes.data, stage.ctypes.data,
+                                   m, n, ch, num_threads, radix, group,
+                                   slot)
 
 
 def encode_iq(planar: np.ndarray) -> bytes:
