@@ -427,6 +427,47 @@ def test_pair_lanes_layout():
         np.testing.assert_array_equal(q[0, :, :, 5 * i:5 * (i + 1)], x[i])
 
 
+def test_xsplit_default_flip_safe_for_f32_input(monkeypatch):
+    """Flipping fullchain.X_SPLIT to "int" (the on-chip A/B may pick it)
+    must not break f32 callers (oracle drives, complex input): the
+    module default silently degrades to the f32 split there, while an
+    EXPLICIT xsplit="int" with float input stays a hard error."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=256, n=128)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    iq = oracle.synthetic_iq(cfg, kind="noise", seed=11)
+    order = FC.radix_row_order(cfg.m, radix)
+    planar = np.stack([iq.real, iq.imag], 1)[:, :, order, :]
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    args = (jnp.asarray(a_np), fac, jnp.asarray(consts.wd),
+            jnp.asarray(consts.clip_phasors))
+    monkeypatch.setattr(FC, "X_SPLIT", "int")
+    # f32 input under the int default: degrades to the f32 split and
+    # matches an explicit f32 request bit-for-bit
+    f32 = planar.astype(np.float32)
+    got = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(f32), *args, interpret=True))
+    want = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(f32), *args, interpret=True, xsplit="f32"))
+    np.testing.assert_array_equal(got, want)
+    # int16 input under the int default: actually uses the int split
+    i16 = planar.astype(np.int16)
+    got_i = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(i16), *args, interpret=True))
+    want_i = np.asarray(FC.fused_chain_power_radix(
+        jnp.asarray(i16), *args, interpret=True, xsplit="int"))
+    np.testing.assert_array_equal(got_i, want_i)
+    # explicit int + float input: still rejected
+    with pytest.raises(ValueError, match="int16 input"):
+        FC.fused_chain_power_radix(
+            jnp.asarray(f32), *args, interpret=True, xsplit="int")
+
+
 def test_pair_group_decode():
     from wrp_tpu.ops.pallas import fullchain as FC
 

@@ -696,11 +696,18 @@ def fused_chain_power_radix(x_r: jax.Array, a_radix: jax.Array,
     order) and the in-kernel concat disappears; bc/offset stay in
     channel-sector units."""
     clip = clip or CLIP_MODE
-    xsplit = xsplit or X_SPLIT
-    pair = X_PAIR if pair is None else pair
-    if xsplit == "int" and not jnp.issubdtype(x_r.dtype, jnp.integer):
+    is_int_input = jnp.issubdtype(x_r.dtype, jnp.integer)
+    if xsplit is None:
+        # the module default is a production hint for the wire-native
+        # int16 feed; f32 callers (oracle drives, complex input) keep
+        # the f32 split rather than erroring when the A/B flips X_SPLIT
+        xsplit = X_SPLIT if (X_SPLIT != "int" or is_int_input) else "f32"
+    elif xsplit == "int" and not is_int_input:
+        # an EXPLICIT int request with float input stays a hard error:
+        # the caller asked for a split the data cannot take
         raise ValueError("xsplit='int' needs int16 input (the wire-native "
                          f"feed); got {x_r.dtype}")
+    pair = X_PAIR if pair is None else pair
     radix = a_radix.shape[0]
     M = a_radix.shape[2]
     m = radix * M
