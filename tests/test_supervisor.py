@@ -1,0 +1,191 @@
+"""Coordinator-led regroup (runtime/supervisor.py): kill one lock-step
+host mid-stream and the supervisor must fold its feed into a survivor,
+relaunch a smaller mesh from the per-feed checkpoints, and drive every
+feed to the coverage target.  The reference loses the entire in-memory
+volume in this scenario (`rpv2.cu` result buffer, no recovery path)."""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _cpu_env():
+    return {
+        "JAX_PLATFORM_NAME": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PATH": "/usr/bin:/bin",
+        "HOME": "/root",
+        "PYTHONPATH": str(REPO),
+    }
+
+
+def _produce(port, sectors, start=0):
+    subprocess.run(
+        [sys.executable, "-m", "wrp_tpu.cli", "produce",
+         "--transport", "udp", "--ingest-port", str(port),
+         "--sectors", str(sectors), "--start-sector", str(start),
+         "--headers", "--rate", "2"],
+        cwd=REPO, check=True, capture_output=True, timeout=120,
+        env=_cpu_env())
+
+
+def _events(state):
+    if not state.exists():
+        return []
+    out = []
+    for line in state.read_text().splitlines():
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            pass  # mid-write tail
+    return out
+
+
+def _await_event(state, sup, pred, what, timeout=300):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        evs = [e for e in _events(state) if pred(e)]
+        if evs:
+            return evs[-1]
+        assert sup.poll() is None, (
+            what, sup.poll(), sup.communicate()[0][-2000:])
+        time.sleep(0.5)
+    raise AssertionError(f"never saw event: {what}; got "
+                         f"{[e['event'] for e in _events(state)]}")
+
+
+def _coverage(path):
+    from wrp_tpu.runtime import VolumeScan
+
+    try:
+        return int(VolumeScan.load(str(path)).coverage.sum())
+    except Exception:
+        return 0
+
+
+def test_assign_round_robin():
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    feeds = [FeedSpec(port=1000 + i, checkpoint=Path(f"/f{i}"))
+             for i in range(5)]
+    sup = Supervisor(feeds, hosts=2)
+    shares = sup._assign(2)
+    assert [len(s) for s in shares] == [3, 2]
+    assert {f.port for s in shares for f in s} == {f.port for f in feeds}
+    # a host with nothing to ingest would starve a lock-step mesh
+    with pytest.raises(ValueError, match="hosts but only"):
+        Supervisor(feeds[:1], hosts=2)
+
+
+def test_feed_checkpoint_count_mismatch_is_an_error(tmp_path, capsys):
+    from wrp_tpu import cli
+
+    rc = cli.main(
+        ["stream", "--transport", "udp",
+         "--feed-port", "9000", "--feed-port", "9001",
+         "--feed-checkpoint", str(tmp_path / "only-one.npz")])
+    assert rc == 2
+    assert "one path per --feed-port" in capsys.readouterr().err
+
+
+def test_supervise_regroup_completes(tmp_path):
+    """Full loop: 2 hosts x 1 feed -> SIGKILL host 1 -> supervisor
+    regroups to 1 host x 2 feeds -> both feeds reach the target and the
+    supervisor exits 0 with both checkpoints complete."""
+    p0, p1 = _free_port(), _free_port()
+    zdb, zdr = _free_port(), _free_port()
+    state = tmp_path / "state.jsonl"
+    ckdir = tmp_path / "ck"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         "--feed-port", str(p0), "--feed-port", str(p1),
+         "--checkpoint-dir", str(ckdir), "--target-sectors", "4",
+         "--batch", "2", "--timeout", "5", "--collective-timeout", "15",
+         "--zdb-port", str(zdb), "--zdr-port", str(zdr),
+         "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        launch0 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 0, "gen-0 launch")
+        assert [len(w["feeds"]) for w in launch0["workers"]] == [1, 1]
+        assert launch0["coordinator"] is not None   # a real 2-host mesh
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 0, "gen-0 ready")
+
+        # phase A: both feeds land one full batch, checkpointed
+        for port in (p0, p1):
+            _produce(port, 2)
+        ck = {p0: ckdir / f"feed{p0}.npz", p1: ckdir / f"feed{p1}.npz"}
+        deadline = time.monotonic() + 180
+        while any(_coverage(ck[p]) < 2 for p in (p0, p1)):
+            assert time.monotonic() < deadline, (
+                "phase-A checkpoints never reached 2 sectors",
+                {p: _coverage(ck[p]) for p in (p0, p1)})
+            assert sup.poll() is None
+            time.sleep(0.5)
+
+        # kill the worker that owns feed p1 (exact PID from the event)
+        victim = next(w for w in launch0["workers"] if w["feeds"] == [p1])
+        os.kill(victim["pid"], signal.SIGKILL)
+
+        regroup = _await_event(
+            state, sup, lambda e: e["event"] == "regroup", "regroup")
+        assert regroup["to_hosts"] == 1
+        launch1 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 1, "gen-1 launch")
+        # the dead host's feed folded into the survivor generation
+        assert [sorted(w["feeds"]) for w in launch1["workers"]] == [
+            sorted([p0, p1])]
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 1, "gen-1 ready")
+
+        # phase B: the remaining sectors arrive on BOTH feeds — including
+        # the dead host's, now served by the survivor
+        for port in (p0, p1):
+            _produce(port, 2, start=2)
+
+        out, err = sup.communicate(timeout=300)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["reason"] == "target"
+        assert summary["generations"] == 2
+        assert summary["coverage"] == {str(p0): 4, str(p1): 4}
+        for p in (p0, p1):
+            assert _coverage(ck[p]) == 4
+        done = _events(state)[-1]
+        assert done["event"] == "done" and done["reason"] == "target"
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        # orphaned workers would outlive a failed supervisor: reap by
+        # exact PID from the recorded launch events, never by pattern
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass

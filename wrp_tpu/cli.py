@@ -227,6 +227,16 @@ def cmd_stream(args):
         print("--feed-port supports the udp and tcp transports only",
               file=sys.stderr)
         return 2
+    if args.feed_checkpoint:
+        # explicit per-feed checkpoint paths: the supervisor keys
+        # checkpoints by FEED so they survive regroups that move a feed
+        # to a different host (runtime/supervisor.py); counts must match
+        # or volumes would silently shift feeds
+        if not args.feed_port or len(args.feed_checkpoint) != len(
+                args.feed_port):
+            print("--feed-checkpoint needs one path per --feed-port",
+                  file=sys.stderr)
+            return 2
     def make_ingest(ingest_cls):
         # multi-feed consolidation: one ingest per --feed-port, one
         # SHARED egress (result frames carry only sector/elevation, so a
@@ -271,7 +281,9 @@ def cmd_stream(args):
             cfg, per_host_batch=args.batch, method=args.method).step_local
 
     volume = None
-    if args.checkpoint:
+    if args.feed_checkpoint:
+        volume = [_open_volume(cfg, p) for p in args.feed_checkpoint]
+    elif args.checkpoint:
         if isinstance(transport, list):
             # per-feed volumes: vol.npz -> vol.feed0.npz, vol.feed1.npz...
             from pathlib import Path
@@ -297,7 +309,7 @@ def cmd_stream(args):
         on_ready=_ready_marker(args.ready_file),
     )
     stats = ex.run()
-    if volume is not None and args.checkpoint:
+    if volume is not None and (args.checkpoint or args.feed_checkpoint):
         vols = volume if isinstance(volume, list) else [volume]
         for v in vols:
             v.save()
@@ -331,6 +343,38 @@ def cmd_stream(args):
             pass
         os._exit(0)
     return 0
+
+
+def cmd_supervise(args):
+    """Coordinator-led failure recovery for the multi-host stream fleet
+    (runtime/supervisor.py): on a worker death the surviving hosts are
+    drained, the dead host's feeds are reassigned to survivors, and a
+    smaller lock-step mesh relaunches from the per-feed checkpoints.
+    The reference's dataflow (`rpv2.cu`) loses the whole in-memory
+    volume in this scenario."""
+    from pathlib import Path
+
+    from .runtime import configure_logging
+    from .runtime.supervisor import FeedSpec, Supervisor
+
+    configure_logging(args.log_level, args.structured_logs)
+    ckdir = Path(args.checkpoint_dir)
+    ckdir.mkdir(parents=True, exist_ok=True)
+    feeds = [FeedSpec(port=p, checkpoint=ckdir / f"feed{p}.npz")
+             for p in args.feed_port]
+    sup = Supervisor(
+        feeds, args.hosts if args.hosts is not None else len(feeds),
+        batch=args.batch, method=args.method, timeout=args.timeout,
+        collective_timeout=args.collective_timeout,
+        target_sectors=args.target_sectors,
+        max_generations=args.max_generations,
+        zdb_port=args.zdb_port, zdr_port=args.zdr_port,
+        state_file=args.state_file,
+        extra_args=["--log-level", args.log_level],
+    )
+    summary = sup.run()
+    print(json.dumps(summary, indent=2))
+    return 0 if summary["ok"] else 4
 
 
 def cmd_volume(args):
@@ -632,6 +676,13 @@ def main(argv=None):
                    help="tcp transport: result collector port")
     p.add_argument("--checkpoint", default=None,
                    help="volume .npz path; resumes coverage if it exists")
+    p.add_argument("--feed-checkpoint", action="append", default=None,
+                   metavar="PATH",
+                   help="explicit per-feed volume .npz (repeat once per "
+                        "--feed-port, same order) — checkpoints keyed by "
+                        "feed so a supervisor can move feeds between "
+                        "hosts across regroups; overrides --checkpoint "
+                        "naming")
     p.add_argument("--checkpoint-every", type=float, default=30.0,
                    help="periodic save interval in seconds (0 saves "
                         "every batch; negative disables periodic saves)")
@@ -663,6 +714,32 @@ def main(argv=None):
                         "every host with --checkpoint to resume.  Set S "
                         "comfortably above the expected sector gap")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser(
+        "supervise",
+        help="launch + watch a lock-step stream fleet; regroup on death")
+    _add_common(p)
+    p.add_argument("--feed-port", type=int, action="append", required=True,
+                   metavar="PORT", help="one radar feed per flag")
+    p.add_argument("--hosts", type=int, default=None,
+                   help="initial worker-process count (default: one per "
+                        "feed)")
+    p.add_argument("--checkpoint-dir", required=True,
+                   help="per-feed volumes land here as feed<PORT>.npz and "
+                        "FOLLOW the feed across regroups")
+    p.add_argument("--target-sectors", type=int, default=None,
+                   help="stop successfully once every feed's checkpoint "
+                        "holds N sectors")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--collective-timeout", type=float, default=30.0)
+    p.add_argument("--max-generations", type=int, default=8)
+    p.add_argument("--zdb-port", type=int, default=None)
+    p.add_argument("--zdr-port", type=int, default=None)
+    p.add_argument("--state-file", default=None,
+                   help="append one JSON line per supervisor event "
+                        "(launch/ready/host_death/regroup/done)")
+    p.set_defaults(fn=cmd_supervise)
 
     p = sub.add_parser("volume", help="inspect/export a volume checkpoint")
     p.add_argument("checkpoint", help="volume .npz path")

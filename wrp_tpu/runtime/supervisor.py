@@ -1,0 +1,325 @@
+"""Coordinator-led mesh regroup for lock-step multi-host streaming.
+
+The reference has no failure story at all: a died process loses the
+volume (`rpv2.cu` keeps `result[2,512,143,9]` purely in memory and the
+UDP loop never detects a dead peer).  Rounds 2-3 added the survivable
+pieces — per-feed volume checkpoints, `--collective-timeout` bounded
+exits, SIGTERM-graceful drain, `--checkpoint` resume — but restarting
+after a host death was still an operator action.  This module closes
+the loop: a supervisor OWNS the feed->host assignment, watches its
+worker processes, and on a death *regroups* — it stops the survivors
+gracefully (they checkpoint), reassigns the dead host's feeds to the
+survivors (the executor's multi-feed consolidation mode), and relaunches
+the remaining hosts as a SMALLER lock-step mesh resuming from the
+per-feed checkpoints.  Feeds keep their checkpoint files across
+generations, so no processed sector is ever re-lost.
+
+Scope: process-level supervision on one box (the same harness the
+multi-host tests use).  On a real pod the only thing that changes is
+`spawn` — inject a launcher that starts the worker on a remote host; the
+generation/regroup state machine is identical.  Sectors broadcast while
+a feed has no live worker are gone (a radar cannot replay the sky);
+that loss window is bounded by the regroup time and reported per feed.
+
+jax.distributed cannot shrink a live mesh in place (the device set is
+fixed at initialize time), so regroup = checkpoint + relaunch with
+`num_processes = survivors` — the coordinator-led equivalent of the
+"mesh regroup" future step named in round 2's review.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import signal
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+log = logging.getLogger("wrp_tpu.supervisor")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class FeedSpec:
+    """One radar feed: an ingest port plus the checkpoint that FOLLOWS
+    the feed across regroups (never keyed by host)."""
+
+    port: int
+    checkpoint: Path
+
+
+@dataclasses.dataclass
+class _Worker:
+    host_id: int
+    feeds: List[FeedSpec]
+    proc: subprocess.Popen
+    ready_file: Path
+
+
+class Supervisor:
+    """Launch/monitor/regroup a generation-based lock-step fleet.
+
+    Each *generation* is `hosts` worker processes running
+    `wrp_tpu.cli stream` with a round-robin share of the feeds; with
+    more than one host they join a fresh jax.distributed mesh
+    (`--coordinator`, `--num-hosts`, `--host-id`).  The supervisor
+    polls worker liveness and per-feed checkpoint coverage:
+
+    * a worker dying (nonzero rc / signal) triggers a REGROUP: SIGTERM
+      the survivors (graceful drain + checkpoint), then launch
+      generation g+1 with one fewer host and the dead host's feeds
+      folded into the survivors' assignments;
+    * every feed reaching `target_sectors` stored sectors ends the run:
+      workers get SIGTERM, the supervisor exits 0;
+    * all workers exiting 0 on their own (e.g. `--max-sectors`) also
+      ends the run.
+
+    Events stream as JSON lines to `state_file` (launch / ready /
+    host_death / regroup / done) so harnesses — and the tests — can act
+    on supervisor state without scraping logs.
+    """
+
+    def __init__(
+        self,
+        feeds: Sequence[FeedSpec],
+        hosts: int,
+        *,
+        batch: int = 8,
+        method: str = "mxu",
+        timeout: float = 5.0,
+        collective_timeout: float = 30.0,
+        target_sectors: Optional[int] = None,
+        max_generations: int = 8,
+        poll_s: float = 0.5,
+        ready_timeout_s: float = 300.0,
+        zdb_port: Optional[int] = None,
+        zdr_port: Optional[int] = None,
+        state_file: Optional[Path] = None,
+        extra_args: Sequence[str] = (),
+        env: Optional[dict] = None,
+        spawn: Optional[Callable[[List[str], dict], subprocess.Popen]] = None,
+    ) -> None:
+        if not feeds:
+            raise ValueError("need at least one feed")
+        if hosts < 1:
+            raise ValueError("need at least one host")
+        if hosts > len(feeds):
+            # a host with zero feeds would idle forever and (in lock-step
+            # mode) starve the mesh into everyone's collective timeout
+            raise ValueError(f"{hosts} hosts but only {len(feeds)} feeds")
+        self.feeds = list(feeds)
+        self.hosts = hosts
+        self.batch = batch
+        self.method = method
+        self.timeout = timeout
+        self.collective_timeout = collective_timeout
+        self.target_sectors = target_sectors
+        self.max_generations = max_generations
+        self.poll_s = poll_s
+        self.ready_timeout_s = ready_timeout_s
+        self.zdb_port = zdb_port
+        self.zdr_port = zdr_port
+        self.state_file = Path(state_file) if state_file else None
+        self.extra_args = list(extra_args)
+        self.env = dict(env) if env is not None else None
+        self._spawn = spawn or (lambda argv, env: subprocess.Popen(
+            argv, env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL))
+        self.generation = -1
+        self._tmp = Path(tempfile.mkdtemp(prefix="wrp_supervise_"))
+        self._events: List[dict] = []
+
+    # ---------------------------------------------------------- events
+
+    def _event(self, kind: str, **fields) -> None:
+        ev = {"event": kind, "generation": self.generation,
+              "t": time.time(), **fields}
+        self._events.append(ev)
+        log.info("supervisor: %s %s", kind, fields)
+        if self.state_file:
+            # append+flush per event: readers poll this file live
+            with open(self.state_file, "a") as f:
+                f.write(json.dumps(ev) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+
+    # ------------------------------------------------------- lifecycle
+
+    def _assign(self, hosts: int) -> List[List[FeedSpec]]:
+        """Round-robin feeds over hosts — the dead host's feeds land on
+        survivors without moving anyone else's checkpoint files."""
+        shares: List[List[FeedSpec]] = [[] for _ in range(hosts)]
+        for i, f in enumerate(self.feeds):
+            shares[i % hosts].append(f)
+        return shares
+
+    def _worker_argv(self, host_id: int, hosts: int, feeds: List[FeedSpec],
+                     ready: Path, coordinator: Optional[str]) -> List[str]:
+        argv = [
+            sys.executable, "-m", "wrp_tpu.cli", "stream",
+            "--transport", "udp",
+            "--batch", str(self.batch),
+            "--method", self.method,
+            "--timeout", str(self.timeout),
+            "--checkpoint-every", "0",        # checkpoint every batch:
+                                              # regroup loses at most the
+                                              # in-flight batch
+            "--ready-file", str(ready),
+            "--collective-timeout", str(self.collective_timeout),
+        ]
+        for f in feeds:
+            argv += ["--feed-port", str(f.port)]
+        for f in feeds:
+            argv += ["--feed-checkpoint", str(f.checkpoint)]
+        if self.zdb_port is not None:
+            argv += ["--zdb-port", str(self.zdb_port)]
+        if self.zdr_port is not None:
+            argv += ["--zdr-port", str(self.zdr_port)]
+        if coordinator is not None:
+            argv += ["--coordinator", coordinator,
+                     "--num-hosts", str(hosts), "--host-id", str(host_id)]
+        return argv + self.extra_args
+
+    def _launch_generation(self, hosts: int) -> List[_Worker]:
+        self.generation += 1
+        shares = self._assign(hosts)
+        # >1 host: a fresh lock-step mesh (new coordinator port — the old
+        # coordination service died with generation g-1's host 0).
+        # 1 host: plain streaming; a 1-process mesh adds only risk.
+        coordinator = f"127.0.0.1:{_free_port()}" if hosts > 1 else None
+        workers = []
+        for host_id, share in enumerate(shares):
+            ready = self._tmp / f"ready-g{self.generation}-h{host_id}"
+            argv = self._worker_argv(host_id, hosts, share, ready,
+                                     coordinator)
+            proc = self._spawn(argv, self.env)
+            workers.append(_Worker(host_id, share, proc, ready))
+        self._event("launch", hosts=hosts, coordinator=coordinator,
+                    workers=[{"host_id": w.host_id, "pid": w.proc.pid,
+                              "feeds": [f.port for f in w.feeds]}
+                             for w in workers])
+        return workers
+
+    def _await_ready(self, workers: List[_Worker]) -> bool:
+        deadline = time.monotonic() + self.ready_timeout_s
+        while time.monotonic() < deadline:
+            if all(w.ready_file.exists() for w in workers):
+                self._event("ready")
+                return True
+            if any(w.proc.poll() is not None for w in workers):
+                return False      # died during warmup -> regroup path
+            time.sleep(self.poll_s)
+        self._event("ready_timeout")
+        return False
+
+    def _stop(self, workers: List[_Worker], why: str) -> None:
+        """Graceful stop: SIGTERM (drain + checkpoint), bounded wait,
+        then SIGKILL the exact PIDs that remain."""
+        live = [w for w in workers if w.proc.poll() is None]
+        for w in live:
+            try:
+                w.proc.send_signal(signal.SIGTERM)
+            except OSError:
+                pass
+        bound = self.collective_timeout + 15.0
+        deadline = time.monotonic() + bound
+        for w in live:
+            left = max(0.1, deadline - time.monotonic())
+            try:
+                w.proc.wait(timeout=left)
+            except subprocess.TimeoutExpired:
+                w.proc.kill()     # exact PID, never a pattern
+                w.proc.wait(timeout=10)
+        self._event("stopped", why=why)
+
+    # ------------------------------------------------------ completion
+
+    def _feed_done(self, feed: FeedSpec) -> bool:
+        if self.target_sectors is None:
+            return False
+        from .volume import VolumeScan
+
+        try:
+            vs = VolumeScan.load(str(feed.checkpoint))
+        except Exception:
+            return False          # absent or mid-rename
+        return int(vs.coverage.sum()) >= self.target_sectors
+
+    def _coverage(self) -> dict:
+        from .volume import VolumeScan
+
+        out = {}
+        for f in self.feeds:
+            try:
+                out[str(f.port)] = int(
+                    VolumeScan.load(str(f.checkpoint)).coverage.sum())
+            except Exception:
+                out[str(f.port)] = 0
+        return out
+
+    # ------------------------------------------------------------- run
+
+    def run(self) -> dict:
+        """Supervise until every feed hits the target (exit reason
+        "target"), all workers finish on their own ("workers_done"), or
+        the fleet/generation budget is exhausted ("exhausted" — nonzero
+        for the CLI).  Returns a summary dict."""
+        hosts = self.hosts
+        while True:
+            workers = self._launch_generation(hosts)
+            self._await_ready(workers)
+            reason = self._monitor(workers)
+            if reason == "regroup":
+                dead = [w for w in workers if w.proc.poll() not in (None, 0)]
+                self._stop(workers, why="regroup")
+                hosts -= len(dead)
+                if hosts < 1:
+                    self._event("done", reason="exhausted",
+                                coverage=self._coverage())
+                    return {"ok": False, "reason": "exhausted",
+                            "generations": self.generation + 1,
+                            "coverage": self._coverage()}
+                if self.generation + 1 >= self.max_generations:
+                    self._event("done", reason="max_generations",
+                                coverage=self._coverage())
+                    return {"ok": False, "reason": "max_generations",
+                            "generations": self.generation + 1,
+                            "coverage": self._coverage()}
+                self._event("regroup", to_hosts=hosts,
+                            dead=[w.host_id for w in dead])
+                continue
+            self._stop(workers, why=reason)
+            cov = self._coverage()
+            self._event("done", reason=reason, coverage=cov)
+            return {"ok": True, "reason": reason,
+                    "generations": self.generation + 1, "coverage": cov}
+
+    def _monitor(self, workers: List[_Worker]) -> str:
+        while True:
+            if self.target_sectors is not None and all(
+                    self._feed_done(f) for f in self.feeds):
+                return "target"
+            rcs = [w.proc.poll() for w in workers]
+            if any(rc not in (None, 0) for rc in rcs):
+                for w, rc in zip(workers, rcs):
+                    if rc not in (None, 0):
+                        self._event("host_death", host_id=w.host_id,
+                                    rc=rc, feeds=[f.port for f in w.feeds])
+                return "regroup"
+            if all(rc == 0 for rc in rcs):
+                return "workers_done"
+            time.sleep(self.poll_s)
