@@ -106,6 +106,145 @@ def test_feed_checkpoint_count_mismatch_is_an_error(tmp_path, capsys):
     assert "one path per --feed-port" in capsys.readouterr().err
 
 
+class _FakeProc:
+    """Scripted worker: 'die1' exits rc 1 at once (warmup crash);
+    'ready_exit0' touches its ready file and exits 0 shortly after;
+    'ready_die9' touches ready then dies as if SIGKILLed; 'ready_hang'
+    / 'hang' run until the supervisor SIGTERMs them."""
+
+    _next_pid = [90000]
+
+    def __init__(self, plan, ready_file):
+        self.plan = plan
+        self.signals = []
+        self._t0 = time.monotonic()
+        self.pid = self._next_pid[0]
+        self._next_pid[0] += 1
+        if plan.startswith("ready"):
+            ready_file.touch()
+
+    def poll(self):
+        dt = time.monotonic() - self._t0
+        if self.plan == "die1":
+            return 1
+        if "SIGTERM" in self.signals:
+            return 0
+        if self.plan == "ready_exit0":
+            return 0 if dt > 0.3 else None
+        if self.plan == "ready_die9":
+            return -9 if dt > 0.3 else None
+        return None               # ready_hang / hang
+
+    def send_signal(self, signo):
+        self.signals.append("SIGTERM" if signo == signal.SIGTERM
+                            else signo)
+
+    def wait(self, timeout=None):
+        deadline = time.monotonic() + (timeout or 5)
+        while self.poll() is None:
+            if time.monotonic() > deadline:
+                raise subprocess.TimeoutExpired(self.plan, timeout)
+            time.sleep(0.01)
+        return self.poll()
+
+    def kill(self):
+        self.signals.append("KILL")
+        self.plan = "die1"
+
+
+def _fake_supervisor(tmp_path, plans, **kw):
+    """Supervisor whose spawn pops scripted plans in launch order."""
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    feeds = [FeedSpec(port=20000 + i, checkpoint=tmp_path / f"f{i}.npz")
+             for i in range(2)]
+    spawned = []
+    queue = list(plans)
+
+    def spawn(argv, env, log_file):
+        ready = Path(argv[argv.index("--ready-file") + 1])
+        p = _FakeProc(queue.pop(0), ready)
+        spawned.append((p, argv))
+        return p
+
+    sup = Supervisor(feeds, hosts=2, poll_s=0.02, spawn=spawn,
+                     state_file=tmp_path / "state.jsonl", **kw)
+    return sup, spawned
+
+
+def test_warmup_death_retries_same_host_count(tmp_path):
+    """A crash BEFORE the generation is ready is infra flake: relaunch
+    with the SAME host count (no accepted work was lost)."""
+    sup, spawned = _fake_supervisor(
+        tmp_path, ["ready_hang", "die1",          # gen 0: h1 dies raw
+                   "ready_exit0", "ready_exit0"])  # gen 1: clean finish
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    assert out["generations"] == 2
+    evs = [e["event"] for e in sup._events]
+    assert "warmup_retry" in evs and "regroup" not in evs
+    launch1 = [e for e in sup._events
+               if e["event"] == "launch" and e["generation"] == 1][0]
+    assert len(launch1["workers"]) == 2           # NOT shrunk
+    # no orphans: the gen-0 survivor was SIGTERMed during the regroup
+    assert "SIGTERM" in spawned[0][0].signals
+
+
+def test_postready_death_shrinks_and_folds_feeds(tmp_path):
+    sup, spawned = _fake_supervisor(
+        tmp_path, ["ready_hang", "ready_die9",    # gen 0: h1 SIGKILLed
+                   "ready_exit0"])                # gen 1: one host
+    out = sup.run()
+    assert out["ok"] and out["generations"] == 2
+    regroup = [e for e in sup._events if e["event"] == "regroup"][0]
+    assert regroup["to_hosts"] == 1 and regroup["dead"] == [1]
+    launch1 = [e for e in sup._events
+               if e["event"] == "launch" and e["generation"] == 1][0]
+    assert len(launch1["workers"]) == 1
+    assert sorted(launch1["workers"][0]["feeds"]) == [20000, 20001]
+    assert launch1["coordinator"] is None         # 1 host: no mesh
+
+
+def test_ready_timeout_fails_loudly_and_stops_the_fleet(tmp_path):
+    sup, spawned = _fake_supervisor(
+        tmp_path, ["hang", "hang"], ready_timeout_s=0.5)
+    out = sup.run()
+    assert not out["ok"] and out["reason"] == "ready_timeout"
+    for p, _ in spawned:                          # no orphans
+        assert "SIGTERM" in p.signals
+
+
+def test_max_generations_bounds_the_crash_loop(tmp_path):
+    sup, _ = _fake_supervisor(
+        tmp_path, ["ready_hang", "die1"], max_generations=1)
+    out = sup.run()
+    assert not out["ok"] and out["reason"] == "max_generations"
+    assert out["generations"] == 1
+
+
+def test_duplicate_feeds_rejected(tmp_path):
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    same_port = [FeedSpec(port=1, checkpoint=tmp_path / "a.npz"),
+                 FeedSpec(port=1, checkpoint=tmp_path / "b.npz")]
+    with pytest.raises(ValueError, match="duplicate feed ports"):
+        Supervisor(same_port, hosts=1)
+    same_ck = [FeedSpec(port=1, checkpoint=tmp_path / "a.npz"),
+               FeedSpec(port=2, checkpoint=tmp_path / "a.npz")]
+    with pytest.raises(ValueError, match="duplicate feed checkpoints"):
+        Supervisor(same_ck, hosts=1)
+
+
+def test_state_file_truncated_per_run(tmp_path):
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    state = tmp_path / "state.jsonl"
+    state.write_text('{"event": "done", "generation": 0}\n')  # stale run
+    Supervisor([FeedSpec(port=1, checkpoint=tmp_path / "a.npz")],
+               hosts=1, state_file=state)
+    assert state.read_text() == ""
+
+
 def test_supervise_regroup_completes(tmp_path):
     """Full loop: 2 hosts x 1 feed -> SIGKILL host 1 -> supervisor
     regroups to 1 host x 2 feeds -> both feeds reach the target and the

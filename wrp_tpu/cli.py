@@ -237,6 +237,11 @@ def cmd_stream(args):
             print("--feed-checkpoint needs one path per --feed-port",
                   file=sys.stderr)
             return 2
+        if len(set(args.feed_checkpoint)) != len(args.feed_checkpoint):
+            # two volumes over one file: last save() wins and silently
+            # discards the other feed's sectors
+            print("duplicate --feed-checkpoint paths", file=sys.stderr)
+            return 2
     def make_ingest(ingest_cls):
         # multi-feed consolidation: one ingest per --feed-port, one
         # SHARED egress (result frames carry only sector/elevation, so a
@@ -352,26 +357,43 @@ def cmd_supervise(args):
     smaller lock-step mesh relaunches from the per-feed checkpoints.
     The reference's dataflow (`rpv2.cu`) loses the whole in-memory
     volume in this scenario."""
+    import signal
     from pathlib import Path
 
     from .runtime import configure_logging
     from .runtime.supervisor import FeedSpec, Supervisor
 
     configure_logging(args.log_level, args.structured_logs)
+    if len(set(args.feed_port)) != len(args.feed_port):
+        # two feeds on one port: the second bind dies with EADDRINUSE
+        # every generation AND both volumes alias one checkpoint file
+        print("duplicate --feed-port values", file=sys.stderr)
+        return 2
+    # service managers stop the supervisor with SIGTERM; route it to the
+    # graceful path (stop the fleet, report "interrupted") like cmd_stream
+    def _sigterm(_signo, _frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     ckdir = Path(args.checkpoint_dir)
     ckdir.mkdir(parents=True, exist_ok=True)
     feeds = [FeedSpec(port=p, checkpoint=ckdir / f"feed{p}.npz")
              for p in args.feed_port]
-    sup = Supervisor(
-        feeds, args.hosts if args.hosts is not None else len(feeds),
-        batch=args.batch, method=args.method, timeout=args.timeout,
-        collective_timeout=args.collective_timeout,
-        target_sectors=args.target_sectors,
-        max_generations=args.max_generations,
-        zdb_port=args.zdb_port, zdr_port=args.zdr_port,
-        state_file=args.state_file,
-        extra_args=["--log-level", args.log_level],
-    )
+    try:
+        sup = Supervisor(
+            feeds, args.hosts if args.hosts is not None else len(feeds),
+            batch=args.batch, method=args.method, timeout=args.timeout,
+            collective_timeout=args.collective_timeout,
+            target_sectors=args.target_sectors,
+            max_generations=args.max_generations,
+            zdb_port=args.zdb_port, zdr_port=args.zdr_port,
+            state_file=args.state_file,
+            log_dir=ckdir / "logs",   # postmortems of host deaths
+            extra_args=["--log-level", args.log_level],
+        )
+    except ValueError as e:          # usage errors, same contract as
+        print(e, file=sys.stderr)    # the other subcommands
+        return 2
     summary = sup.run()
     print(json.dumps(summary, indent=2))
     return 0 if summary["ok"] else 4

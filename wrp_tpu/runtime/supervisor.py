@@ -33,6 +33,7 @@ import dataclasses
 import json
 import logging
 import os
+import shutil
 import signal
 import socket
 import subprocess
@@ -40,7 +41,7 @@ import sys
 import tempfile
 import time
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence, Tuple
 
 log = logging.getLogger("wrp_tpu.supervisor")
 
@@ -68,6 +69,7 @@ class _Worker:
     feeds: List[FeedSpec]
     proc: subprocess.Popen
     ready_file: Path
+    log_file: Optional[Path]
 
 
 class Supervisor:
@@ -79,18 +81,32 @@ class Supervisor:
     (`--coordinator`, `--num-hosts`, `--host-id`).  The supervisor
     polls worker liveness and per-feed checkpoint coverage:
 
-    * a worker dying (nonzero rc / signal) triggers a REGROUP: SIGTERM
-      the survivors (graceful drain + checkpoint), then launch
-      generation g+1 with one fewer host and the dead host's feeds
-      folded into the survivors' assignments;
+    * a worker dying (nonzero rc / signal) AFTER its generation became
+      ready triggers a REGROUP: SIGTERM the survivors (graceful drain +
+      checkpoint), then launch generation g+1 with one fewer host and
+      the dead host's feeds folded into the survivors' assignments.
+      The supervisor cannot distinguish a transient process failure
+      from a lost machine, so post-ready deaths shrink the fleet
+      permanently (bounded by `max_generations`);
+    * a worker dying DURING warmup (before every ready file appeared)
+      is infra flake — no work was accepted yet — so the generation
+      relaunches at the SAME host count (fresh coordinator port; this
+      also absorbs coordinator-port bind races), still counted against
+      `max_generations` so a deterministic crash loop stays bounded;
+    * a generation that never becomes ready within `ready_timeout_s`
+      without anyone dying ends the run with reason "ready_timeout";
     * every feed reaching `target_sectors` stored sectors ends the run:
       workers get SIGTERM, the supervisor exits 0;
     * all workers exiting 0 on their own (e.g. `--max-sectors`) also
       ends the run.
 
-    Events stream as JSON lines to `state_file` (launch / ready /
-    host_death / regroup / done) so harnesses — and the tests — can act
-    on supervisor state without scraping logs.
+    SIGTERM/KeyboardInterrupt on the supervisor itself stops the fleet
+    gracefully (reason "interrupted") — workers are never orphaned.
+    Worker stdout/stderr go to per-generation files under `log_dir`
+    (postmortems of host deaths need them); `state_file` is truncated
+    at start and events stream to it as JSON lines (launch / ready /
+    warmup_retry / host_death / regroup / done) so harnesses — and the
+    tests — can act on supervisor state without scraping logs.
     """
 
     def __init__(
@@ -109,9 +125,12 @@ class Supervisor:
         zdb_port: Optional[int] = None,
         zdr_port: Optional[int] = None,
         state_file: Optional[Path] = None,
+        log_dir: Optional[Path] = None,
         extra_args: Sequence[str] = (),
         env: Optional[dict] = None,
-        spawn: Optional[Callable[[List[str], dict], subprocess.Popen]] = None,
+        spawn: Optional[Callable[[List[str], Optional[dict],
+                                  Optional[Path]],
+                                 subprocess.Popen]] = None,
     ) -> None:
         if not feeds:
             raise ValueError("need at least one feed")
@@ -131,17 +150,43 @@ class Supervisor:
         self.max_generations = max_generations
         self.poll_s = poll_s
         self.ready_timeout_s = ready_timeout_s
+        if len({f.port for f in self.feeds}) != len(self.feeds):
+            raise ValueError("duplicate feed ports")
+        if len({f.checkpoint for f in self.feeds}) != len(self.feeds):
+            raise ValueError("duplicate feed checkpoints (two volumes "
+                             "over one file silently clobber each other)")
         self.zdb_port = zdb_port
         self.zdr_port = zdr_port
         self.state_file = Path(state_file) if state_file else None
+        if self.state_file:
+            # one run per file: a reader matching "generation 0" must
+            # never pick up a previous run's events
+            self.state_file.write_text("")
+        self.log_dir = Path(log_dir) if log_dir else None
+        if self.log_dir:
+            self.log_dir.mkdir(parents=True, exist_ok=True)
         self.extra_args = list(extra_args)
         self.env = dict(env) if env is not None else None
-        self._spawn = spawn or (lambda argv, env: subprocess.Popen(
-            argv, env=env, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL))
+        self._spawn = spawn or self._default_spawn
         self.generation = -1
         self._tmp = Path(tempfile.mkdtemp(prefix="wrp_supervise_"))
         self._events: List[dict] = []
+        self._workers: List[_Worker] = []
+        # checkpoint read cache: (mtime_ns, size) -> coverage count, so
+        # the 0.5 s poll doesn't deserialize every volume every tick
+        self._cov_cache: dict = {}
+
+    def _default_spawn(self, argv: List[str], env: Optional[dict],
+                       log_file: Optional[Path]) -> subprocess.Popen:
+        if log_file is None:
+            return subprocess.Popen(argv, env=env,
+                                    stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL)
+        out = open(log_file, "ab")
+        try:
+            return subprocess.Popen(argv, env=env, stdout=out, stderr=out)
+        finally:
+            out.close()      # the child holds its own fd
 
     # ---------------------------------------------------------- events
 
@@ -204,32 +249,46 @@ class Supervisor:
         workers = []
         for host_id, share in enumerate(shares):
             ready = self._tmp / f"ready-g{self.generation}-h{host_id}"
+            logf = (self.log_dir / f"g{self.generation}-h{host_id}.log"
+                    if self.log_dir else None)
             argv = self._worker_argv(host_id, hosts, share, ready,
                                      coordinator)
-            proc = self._spawn(argv, self.env)
-            workers.append(_Worker(host_id, share, proc, ready))
+            proc = self._spawn(argv, self.env, logf)
+            workers.append(_Worker(host_id, share, proc, ready, logf))
+        self._workers = workers
         self._event("launch", hosts=hosts, coordinator=coordinator,
                     workers=[{"host_id": w.host_id, "pid": w.proc.pid,
-                              "feeds": [f.port for f in w.feeds]}
+                              "feeds": [f.port for f in w.feeds],
+                              "log": str(w.log_file) if w.log_file
+                              else None}
                              for w in workers])
         return workers
 
-    def _await_ready(self, workers: List[_Worker]) -> bool:
+    def _await_ready(self, workers: List[_Worker]) -> str:
+        """-> "ready" | "died" (a worker exited during warmup) |
+        "timeout" (nobody died, nobody became ready)."""
         deadline = time.monotonic() + self.ready_timeout_s
         while time.monotonic() < deadline:
             if all(w.ready_file.exists() for w in workers):
                 self._event("ready")
-                return True
+                return "ready"
             if any(w.proc.poll() is not None for w in workers):
-                return False      # died during warmup -> regroup path
+                return "died"
+            # the target can already be satisfied by pre-existing
+            # checkpoints; don't require a ready generation to see it
+            if self.target_sectors is not None and all(
+                    self._feed_done(f) for f in self.feeds):
+                return "ready"
             time.sleep(self.poll_s)
         self._event("ready_timeout")
-        return False
+        return "timeout"
 
     def _stop(self, workers: List[_Worker], why: str) -> None:
         """Graceful stop: SIGTERM (drain + checkpoint), bounded wait,
         then SIGKILL the exact PIDs that remain."""
         live = [w for w in workers if w.proc.poll() is None]
+        if not live:
+            return            # e.g. the final-cleanup pass after _run
         for w in live:
             try:
                 w.proc.send_signal(signal.SIGTERM)
@@ -248,65 +307,91 @@ class Supervisor:
 
     # ------------------------------------------------------ completion
 
-    def _feed_done(self, feed: FeedSpec) -> bool:
-        if self.target_sectors is None:
-            return False
+    def _feed_coverage(self, feed: FeedSpec) -> int:
+        """Stored-sector count, reloaded only when the file changed
+        (workers save via atomic rename, so mtime+size is a sound
+        staleness key)."""
         from .volume import VolumeScan
 
         try:
-            vs = VolumeScan.load(str(feed.checkpoint))
+            st = os.stat(feed.checkpoint)
+            key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return 0
+        cached = self._cov_cache.get(feed.checkpoint)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            n = int(VolumeScan.load(str(feed.checkpoint)).coverage.sum())
         except Exception:
-            return False          # absent or mid-rename
-        return int(vs.coverage.sum()) >= self.target_sectors
+            return 0              # mid-rename
+        self._cov_cache[feed.checkpoint] = (key, n)
+        return n
+
+    def _feed_done(self, feed: FeedSpec) -> bool:
+        if self.target_sectors is None:
+            return False
+        return self._feed_coverage(feed) >= self.target_sectors
 
     def _coverage(self) -> dict:
-        from .volume import VolumeScan
-
-        out = {}
-        for f in self.feeds:
-            try:
-                out[str(f.port)] = int(
-                    VolumeScan.load(str(f.checkpoint)).coverage.sum())
-            except Exception:
-                out[str(f.port)] = 0
-        return out
+        return {str(f.port): self._feed_coverage(f) for f in self.feeds}
 
     # ------------------------------------------------------------- run
 
     def run(self) -> dict:
         """Supervise until every feed hits the target (exit reason
         "target"), all workers finish on their own ("workers_done"), or
-        the fleet/generation budget is exhausted ("exhausted" — nonzero
-        for the CLI).  Returns a summary dict."""
+        the run fails ("exhausted" / "max_generations" /
+        "ready_timeout" / "interrupted" — nonzero for the CLI).
+        Workers are never orphaned: every exit path, including
+        SIGTERM/Ctrl-C on the supervisor and exceptions from event
+        writing, stops the current generation first."""
+        try:
+            return self._run()
+        except KeyboardInterrupt:
+            return self._finish(False, "interrupted")
+        finally:
+            self._stop(self._workers, why="shutdown")
+            shutil.rmtree(self._tmp, ignore_errors=True)
+
+    def _finish(self, ok: bool, reason: str) -> dict:
+        cov = self._coverage()
+        self._event("done", reason=reason, coverage=cov)
+        return {"ok": ok, "reason": reason,
+                "generations": self.generation + 1, "coverage": cov}
+
+    def _run(self) -> dict:
         hosts = self.hosts
         while True:
             workers = self._launch_generation(hosts)
-            self._await_ready(workers)
+            readiness = self._await_ready(workers)
+            if readiness == "timeout":
+                # nobody died, nobody came up: relaunching the same
+                # thing would hang the same way — fail loudly
+                self._stop(workers, why="ready_timeout")
+                return self._finish(False, "ready_timeout")
             reason = self._monitor(workers)
             if reason == "regroup":
-                dead = [w for w in workers if w.proc.poll() not in (None, 0)]
+                dead = [w for w in workers
+                        if w.proc.poll() not in (None, 0)]
                 self._stop(workers, why="regroup")
+                if self.generation + 1 >= self.max_generations:
+                    return self._finish(False, "max_generations")
+                if readiness != "ready":
+                    # warmup death: no accepted work was lost, so this
+                    # is infra flake (coordinator-port race, OOM blip) —
+                    # retry at the SAME host count on a fresh port
+                    self._event("warmup_retry", hosts=hosts,
+                                dead=[w.host_id for w in dead])
+                    continue
                 hosts -= len(dead)
                 if hosts < 1:
-                    self._event("done", reason="exhausted",
-                                coverage=self._coverage())
-                    return {"ok": False, "reason": "exhausted",
-                            "generations": self.generation + 1,
-                            "coverage": self._coverage()}
-                if self.generation + 1 >= self.max_generations:
-                    self._event("done", reason="max_generations",
-                                coverage=self._coverage())
-                    return {"ok": False, "reason": "max_generations",
-                            "generations": self.generation + 1,
-                            "coverage": self._coverage()}
+                    return self._finish(False, "exhausted")
                 self._event("regroup", to_hosts=hosts,
                             dead=[w.host_id for w in dead])
                 continue
             self._stop(workers, why=reason)
-            cov = self._coverage()
-            self._event("done", reason=reason, coverage=cov)
-            return {"ok": True, "reason": reason,
-                    "generations": self.generation + 1, "coverage": cov}
+            return self._finish(True, reason)
 
     def _monitor(self, workers: List[_Worker]) -> str:
         while True:
