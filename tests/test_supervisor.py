@@ -245,6 +245,50 @@ def test_state_file_truncated_per_run(tmp_path):
     assert state.read_text() == ""
 
 
+def test_supervise_tcp_single_host(tmp_path):
+    """The supervisor's worker argv is transport-generic: one host, two
+    TCP feeds, target reached, clean exit (the regroup machine itself is
+    transport-agnostic and covered above + by the UDP kill test)."""
+    p0, p1 = _free_port(), _free_port()
+    state = tmp_path / "state.jsonl"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         "--transport", "tcp", "--hosts", "1",
+         "--feed-port", str(p0), "--feed-port", str(p1),
+         "--checkpoint-dir", str(tmp_path / "ck"), "--target-sectors", "2",
+         "--batch", "2", "--timeout", "5", "--result-port",
+         str(_free_port()), "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        _await_event(state, sup, lambda e: e["event"] == "ready",
+                     "ready")
+        for port in (p0, p1):
+            subprocess.run(
+                [sys.executable, "-m", "wrp_tpu.cli", "produce",
+                 "--transport", "tcp", "--ingest-port", str(port),
+                 "--sectors", "2", "--headers", "--rate", "2"],
+                cwd=REPO, check=True, capture_output=True, timeout=120,
+                env=_cpu_env())
+        out, _err = sup.communicate(timeout=240)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     _err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["coverage"] == {
+            str(p0): 2, str(p1): 2}
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass
+
+
 def test_supervise_regroup_completes(tmp_path):
     """Full loop: 2 hosts x 1 feed -> SIGKILL host 1 -> supervisor
     regroups to 1 host x 2 feeds -> both feeds reach the target and the

@@ -382,11 +382,13 @@ def cmd_supervise(args):
     try:
         sup = Supervisor(
             feeds, args.hosts if args.hosts is not None else len(feeds),
+            transport=args.transport,
             batch=args.batch, method=args.method, timeout=args.timeout,
             collective_timeout=args.collective_timeout,
             target_sectors=args.target_sectors,
             max_generations=args.max_generations,
             zdb_port=args.zdb_port, zdr_port=args.zdr_port,
+            result_port=args.result_port,
             state_file=args.state_file,
             log_dir=ckdir / "logs",   # postmortems of host deaths
             extra_args=["--log-level", args.log_level],
@@ -741,8 +743,11 @@ def main(argv=None):
         "supervise",
         help="launch + watch a lock-step stream fleet; regroup on death")
     _add_common(p)
+    p.add_argument("--transport", default="udp", choices=["udp", "tcp"])
     p.add_argument("--feed-port", type=int, action="append", required=True,
                    metavar="PORT", help="one radar feed per flag")
+    p.add_argument("--result-port", type=int, default=None,
+                   help="tcp transport: result collector port")
     p.add_argument("--hosts", type=int, default=None,
                    help="initial worker-process count (default: one per "
                         "feed)")

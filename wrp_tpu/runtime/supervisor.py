@@ -114,6 +114,7 @@ class Supervisor:
         feeds: Sequence[FeedSpec],
         hosts: int,
         *,
+        transport: str = "udp",
         batch: int = 8,
         method: str = "mxu",
         timeout: float = 5.0,
@@ -124,6 +125,7 @@ class Supervisor:
         ready_timeout_s: float = 300.0,
         zdb_port: Optional[int] = None,
         zdr_port: Optional[int] = None,
+        result_port: Optional[int] = None,
         state_file: Optional[Path] = None,
         log_dir: Optional[Path] = None,
         extra_args: Sequence[str] = (),
@@ -140,8 +142,13 @@ class Supervisor:
             # a host with zero feeds would idle forever and (in lock-step
             # mode) starve the mesh into everyone's collective timeout
             raise ValueError(f"{hosts} hosts but only {len(feeds)} feeds")
+        if transport not in ("udp", "tcp"):
+            # zmq feeds are endpoints, not ports; the executor's
+            # multi-feed mode (and so the supervisor) is udp/tcp only
+            raise ValueError(f"unsupported transport {transport!r}")
         self.feeds = list(feeds)
         self.hosts = hosts
+        self.transport = transport
         self.batch = batch
         self.method = method
         self.timeout = timeout
@@ -157,6 +164,7 @@ class Supervisor:
                              "over one file silently clobber each other)")
         self.zdb_port = zdb_port
         self.zdr_port = zdr_port
+        self.result_port = result_port
         self.state_file = Path(state_file) if state_file else None
         if self.state_file:
             # one run per file: a reader matching "generation 0" must
@@ -216,7 +224,7 @@ class Supervisor:
                      ready: Path, coordinator: Optional[str]) -> List[str]:
         argv = [
             sys.executable, "-m", "wrp_tpu.cli", "stream",
-            "--transport", "udp",
+            "--transport", self.transport,
             "--batch", str(self.batch),
             "--method", self.method,
             "--timeout", str(self.timeout),
@@ -234,6 +242,8 @@ class Supervisor:
             argv += ["--zdb-port", str(self.zdb_port)]
         if self.zdr_port is not None:
             argv += ["--zdr-port", str(self.zdr_port)]
+        if self.result_port is not None:
+            argv += ["--result-port", str(self.result_port)]
         if coordinator is not None:
             argv += ["--coordinator", coordinator,
                      "--num-hosts", str(hosts), "--host-id", str(host_id)]
