@@ -178,9 +178,11 @@ class StreamingExecutor:
         and cannot be unblocked host-side, so a clean process exit is
         the only recovery that preserves the volume; a restarted host
         resumes from the checkpoint (cli stream --checkpoint).  None
-        (default) keeps the warn-only watchdog.  Future step: a
-        coordinator-led mesh regroup instead of exit-and-resume (needs
-        jax.distributed re-initialisation, not yet supported in-process).
+        (default) keeps the warn-only watchdog.  The coordinator-led
+        regroup on top of this exit-and-resume contract lives in
+        runtime/supervisor.py (`cli supervise`): survivors relaunch as
+        a smaller mesh with the dead host's feeds folded in
+        (jax.distributed cannot shrink a live mesh in-process).
 
         on_ready: called once the warmup compile is done and the ingest
         thread is listening — the point where it is safe to start a
