@@ -222,6 +222,56 @@ def test_max_generations_bounds_the_crash_loop(tmp_path):
     assert out["generations"] == 1
 
 
+def test_midspawn_failure_stops_started_workers(tmp_path):
+    """A spawn that raises mid-generation must not orphan the workers
+    already started (they are visible to run()'s cleanup as spawned)."""
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    feeds = [FeedSpec(port=20000 + i, checkpoint=tmp_path / f"f{i}.npz")
+             for i in range(2)]
+    spawned = []
+
+    def spawn(argv, env, log_file):
+        if spawned:
+            raise OSError("ENOMEM")
+        ready = Path(argv[argv.index("--ready-file") + 1])
+        p = _FakeProc("ready_hang", ready)
+        spawned.append(p)
+        return p
+
+    sup = Supervisor(feeds, hosts=2, poll_s=0.02, spawn=spawn)
+    with pytest.raises(OSError):
+        sup.run()
+    assert "SIGTERM" in spawned[0].signals
+
+
+def test_interrupt_stops_fleet_before_reporting(tmp_path):
+    """SIGTERM/Ctrl-C: the fleet is drained BEFORE the summary reads
+    coverage, and the state file ends launch..stopped(interrupted),
+    done(interrupted)."""
+    sup, spawned = _fake_supervisor(tmp_path, ["ready_hang", "ready_hang"])
+    orig_monitor = sup._monitor
+
+    def interrupted_monitor(workers):
+        raise KeyboardInterrupt
+
+    sup._monitor = interrupted_monitor
+    out = sup.run()
+    assert not out["ok"] and out["reason"] == "interrupted"
+    for p, _ in spawned:
+        assert "SIGTERM" in p.signals
+    tail = [e["event"] for e in sup._events][-2:]
+    assert tail == ["stopped", "done"]
+
+
+def test_workers_done_still_emits_stopped_event(tmp_path):
+    sup, _ = _fake_supervisor(tmp_path, ["ready_exit0", "ready_exit0"])
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    evs = [e["event"] for e in sup._events]
+    assert evs[-2:] == ["stopped", "done"]
+
+
 def test_duplicate_feeds_rejected(tmp_path):
     from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
 

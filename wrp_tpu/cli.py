@@ -364,11 +364,6 @@ def cmd_supervise(args):
     from .runtime.supervisor import FeedSpec, Supervisor
 
     configure_logging(args.log_level, args.structured_logs)
-    if len(set(args.feed_port)) != len(args.feed_port):
-        # two feeds on one port: the second bind dies with EADDRINUSE
-        # every generation AND both volumes alias one checkpoint file
-        print("duplicate --feed-port values", file=sys.stderr)
-        return 2
     # service managers stop the supervisor with SIGTERM; route it to the
     # graceful path (stop the fleet, report "interrupted") like cmd_stream
     def _sigterm(_signo, _frame):
@@ -389,6 +384,7 @@ def cmd_supervise(args):
             max_generations=args.max_generations,
             zdb_port=args.zdb_port, zdr_port=args.zdr_port,
             result_port=args.result_port,
+            ready_timeout_s=args.ready_timeout,
             state_file=args.state_file,
             log_dir=ckdir / "logs",   # postmortems of host deaths
             extra_args=["--log-level", args.log_level],
@@ -760,6 +756,12 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--timeout", type=float, default=5.0)
     p.add_argument("--collective-timeout", type=float, default=30.0)
+    p.add_argument("--ready-timeout", type=float, default=300.0,
+                   metavar="S",
+                   help="a generation whose warmup (mesh join + "
+                        "compile) exceeds S without any worker dying "
+                        "ends the run with reason ready_timeout; raise "
+                        "on hardware with slow cold compiles")
     p.add_argument("--max-generations", type=int, default=8)
     p.add_argument("--zdb-port", type=int, default=None)
     p.add_argument("--zdr-port", type=int, default=None)

@@ -41,7 +41,7 @@ import sys
 import tempfile
 import time
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 log = logging.getLogger("wrp_tpu.supervisor")
 
@@ -169,6 +169,7 @@ class Supervisor:
         if self.state_file:
             # one run per file: a reader matching "generation 0" must
             # never pick up a previous run's events
+            self.state_file.parent.mkdir(parents=True, exist_ok=True)
             self.state_file.write_text("")
         self.log_dir = Path(log_dir) if log_dir else None
         if self.log_dir:
@@ -177,7 +178,9 @@ class Supervisor:
         self.env = dict(env) if env is not None else None
         self._spawn = spawn or self._default_spawn
         self.generation = -1
-        self._tmp = Path(tempfile.mkdtemp(prefix="wrp_supervise_"))
+        # ready-file dir is created lazily in run() so validation-only
+        # constructions don't leak temp dirs (cleanup lives in run())
+        self._tmp: Optional[Path] = None
         self._events: List[dict] = []
         self._workers: List[_Worker] = []
         # checkpoint read cache: (mtime_ns, size) -> coverage count, so
@@ -256,7 +259,11 @@ class Supervisor:
         # coordination service died with generation g-1's host 0).
         # 1 host: plain streaming; a 1-process mesh adds only risk.
         coordinator = f"127.0.0.1:{_free_port()}" if hosts > 1 else None
-        workers = []
+        # self._workers IS the list being filled: a spawn that raises
+        # (or an interrupt landing mid-loop) must leave the already-
+        # started workers visible to run()'s cleanup, not orphan them
+        workers: List[_Worker] = []
+        self._workers = workers
         for host_id, share in enumerate(shares):
             ready = self._tmp / f"ready-g{self.generation}-h{host_id}"
             logf = (self.log_dir / f"g{self.generation}-h{host_id}.log"
@@ -265,7 +272,6 @@ class Supervisor:
                                      coordinator)
             proc = self._spawn(argv, self.env, logf)
             workers.append(_Worker(host_id, share, proc, ready, logf))
-        self._workers = workers
         self._event("launch", hosts=hosts, coordinator=coordinator,
                     workers=[{"host_id": w.host_id, "pid": w.proc.pid,
                               "feeds": [f.port for f in w.feeds],
@@ -293,12 +299,18 @@ class Supervisor:
         self._event("ready_timeout")
         return "timeout"
 
-    def _stop(self, workers: List[_Worker], why: str) -> None:
+    def _stop(self, workers: List[_Worker], why: str,
+              event: bool = True) -> None:
         """Graceful stop: SIGTERM (drain + checkpoint), bounded wait,
-        then SIGKILL the exact PIDs that remain."""
+        then SIGKILL the exact PIDs that remain.  Emits the "stopped"
+        event even when nobody was left alive (harnesses key on it);
+        event=False is the final safety pass in run()'s finally, which
+        must not write after the "done" event."""
         live = [w for w in workers if w.proc.poll() is None]
         if not live:
-            return            # e.g. the final-cleanup pass after _run
+            if event and workers:
+                self._event("stopped", why=why)
+            return
         for w in live:
             try:
                 w.proc.send_signal(signal.SIGTERM)
@@ -313,7 +325,8 @@ class Supervisor:
             except subprocess.TimeoutExpired:
                 w.proc.kill()     # exact PID, never a pattern
                 w.proc.wait(timeout=10)
-        self._event("stopped", why=why)
+        if event:
+            self._event("stopped", why=why)
 
     # ------------------------------------------------------ completion
 
@@ -356,13 +369,19 @@ class Supervisor:
         Workers are never orphaned: every exit path, including
         SIGTERM/Ctrl-C on the supervisor and exceptions from event
         writing, stops the current generation first."""
+        self._tmp = Path(tempfile.mkdtemp(prefix="wrp_supervise_"))
         try:
             return self._run()
         except KeyboardInterrupt:
+            # stop the fleet BEFORE reading coverage: the SIGTERMed
+            # workers drain and write their final checkpoints, which
+            # the "interrupted" summary must include
+            self._stop(self._workers, why="interrupted")
             return self._finish(False, "interrupted")
         finally:
-            self._stop(self._workers, why="shutdown")
+            self._stop(self._workers, why="shutdown", event=False)
             shutil.rmtree(self._tmp, ignore_errors=True)
+            self._tmp = None
 
     def _finish(self, ok: bool, reason: str) -> dict:
         cov = self._coverage()
