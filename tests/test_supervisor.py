@@ -295,6 +295,78 @@ def test_state_file_truncated_per_run(tmp_path):
     assert state.read_text() == ""
 
 
+def test_supervise_multifeed_lockstep_regroup(tmp_path):
+    """3 feeds on 2 hosts puts TWO feeds + the lock-step mesh on host 0
+    (the multi-feed + coordinator combination), then a SIGKILL of host 1
+    folds all three feeds onto one host.  Covers the supervisor
+    generation shape the 1-feed-per-host test cannot."""
+    ports = [_free_port() for _ in range(3)]
+    state = tmp_path / "state.jsonl"
+    ckdir = tmp_path / "ck"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         *sum([["--feed-port", str(p)] for p in ports], []),
+         "--hosts", "2",
+         "--checkpoint-dir", str(ckdir), "--target-sectors", "4",
+         "--batch", "2", "--timeout", "5", "--collective-timeout", "15",
+         "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        launch0 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 0, "gen-0 launch")
+        # round-robin: host 0 owns feeds 0 and 2, host 1 owns feed 1
+        shapes = sorted(len(w["feeds"]) for w in launch0["workers"])
+        assert shapes == [1, 2]
+        assert launch0["coordinator"] is not None
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 0, "gen-0 ready")
+
+        # full batches through EVERY feed of gen 0 — including both
+        # feeds multiplexed on the lock-step host
+        for p in ports:
+            _produce(p, 2)
+        ck = {p: ckdir / f"feed{p}.npz" for p in ports}
+        deadline = time.monotonic() + 180
+        while any(_coverage(ck[p]) < 2 for p in ports):
+            assert time.monotonic() < deadline, (
+                {p: _coverage(ck[p]) for p in ports})
+            assert sup.poll() is None
+            time.sleep(0.5)
+
+        victim = next(w for w in launch0["workers"]
+                      if len(w["feeds"]) == 1)
+        os.kill(victim["pid"], signal.SIGKILL)
+        launch1 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 1, "gen-1 launch")
+        assert len(launch1["workers"]) == 1
+        assert sorted(launch1["workers"][0]["feeds"]) == sorted(ports)
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 1, "gen-1 ready")
+
+        for p in ports:
+            _produce(p, 2, start=2)
+        out, err = sup.communicate(timeout=300)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["coverage"] == {
+            str(p): 4 for p in ports}
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass
+
+
 def test_supervise_tcp_single_host(tmp_path):
     """The supervisor's worker argv is transport-generic: one host, two
     TCP feeds, target reached, clean exit (the regroup machine itself is
