@@ -3,7 +3,6 @@ contract (driver-facing), its parity self-check, and the sharded
 (shard_map) measurement path must not rot.  Smoke runs on CPU."""
 
 import json
-import os
 import subprocess
 import sys
 from pathlib import Path

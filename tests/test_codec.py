@@ -2,9 +2,7 @@
 (sector.cpp:52-62, floats.c:3-43)."""
 
 import numpy as np
-import pytest
-
-from wrp_tpu.config import DEFAULT_CONFIG, tiny_config
+from wrp_tpu.config import tiny_config
 from wrp_tpu.io import codec, frames
 
 
@@ -144,7 +142,6 @@ def test_decode_iq_i16_matches_f32():
 
 
 def test_pipeline_accepts_i16_planar():
-    import jax.numpy as jnp
 
     from wrp_tpu import oracle
     from wrp_tpu.config import tiny_config

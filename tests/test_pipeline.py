@@ -5,7 +5,6 @@ This is the full-chain stage-00-10 validation the reference could not do
 (oracle.py), pinned to the surviving goldens by test_golden.py.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

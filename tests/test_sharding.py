@@ -4,7 +4,6 @@ Validates the distributed transpose-FFT decomposition (data x seq) against
 the single-device pipeline and the fp64 oracle.
 """
 
-import jax
 import numpy as np
 import pytest
 

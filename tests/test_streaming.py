@@ -507,7 +507,6 @@ def test_sigterm_graceful_shutdown(tmp_path):
     as Ctrl-C: finish in-flight work, save the volume checkpoint, print
     the stats summary, exit 0."""
     import json
-    import os
     import signal
     import subprocess
     import sys

@@ -24,8 +24,6 @@ batched pipeline, sharded.py's transpose formulation is faster.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

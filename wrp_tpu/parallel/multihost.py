@@ -22,14 +22,14 @@ tests/test_multihost.py; on TPU pods the same code path uses ICI/DCN.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from ..config import RadarConfig, DEFAULT_CONFIG
-from .mesh import DATA_AXIS, SEQ_AXIS, make_mesh
+from .mesh import DATA_AXIS, make_mesh
 from .sharded import build_sharded_processor
 
 

@@ -27,13 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RadarConfig, DEFAULT_CONFIG
 from ..constants import PipelineConstants
 from .. import pipeline
-from .mesh import (DATA_AXIS, SEQ_AXIS, iq_sharding, iq_sharding_flat,
-                   result_sharding)
+from .mesh import DATA_AXIS, SEQ_AXIS, iq_sharding, iq_sharding_flat
 
 
 def _shard_body(
