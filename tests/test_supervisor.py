@@ -205,6 +205,72 @@ def test_postready_death_shrinks_and_folds_feeds(tmp_path):
     assert launch1["coordinator"] is None         # 1 host: no mesh
 
 
+def test_regrow_probes_back_up_after_shrink(tmp_path):
+    """Elastic re-growth: after a post-ready death shrinks 2 -> 1, a
+    healthy window triggers a growth probe back to 2 hosts, which then
+    runs to completion at the original size."""
+    sup, _ = _fake_supervisor(
+        tmp_path, ["ready_hang", "ready_die9",     # gen 0: h1 SIGKILLed
+                   "ready_hang",                   # gen 1: shrunk, healthy
+                   "ready_exit0", "ready_exit0"],  # gen 2: grown, finishes
+        regrow_after_s=0.4)
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    assert out["generations"] == 3
+    evs = [e["event"] for e in sup._events]
+    assert "regroup" in evs and "grow" in evs
+    grow = [e for e in sup._events if e["event"] == "grow"][0]
+    assert grow["to_hosts"] == 2
+    launch2 = [e for e in sup._events
+               if e["event"] == "launch" and e["generation"] == 2][0]
+    assert len(launch2["workers"]) == 2            # back to full size
+    assert launch2["coordinator"] is not None      # a real mesh again
+    # feeds split back apart: one per host, no checkpoint moved
+    assert sorted(len(w["feeds"]) for w in launch2["workers"]) == [1, 1]
+
+
+def test_regrow_failed_probe_falls_back(tmp_path):
+    """A growth probe that dies during warmup means the capacity is
+    still gone: fall back to the proven host count instead of treating
+    it as ordinary warmup flake (which would retry at the grown size)."""
+    sup, _ = _fake_supervisor(
+        tmp_path, ["ready_hang", "ready_die9",     # gen 0: shrink to 1
+                   "ready_hang",                   # gen 1: healthy window
+                   "ready_hang", "die1",           # gen 2: probe fails warmup
+                   "ready_exit0"],                 # gen 3: back at 1, done
+        regrow_after_s=0.4)
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    assert out["generations"] == 4
+    failed = [e for e in sup._events if e["event"] == "grow_failed"][0]
+    assert failed["back_to_hosts"] == 1
+    evs = [e["event"] for e in sup._events]
+    assert "warmup_retry" not in evs               # NOT plain flake
+    launch3 = [e for e in sup._events
+               if e["event"] == "launch" and e["generation"] == 3][0]
+    assert len(launch3["workers"]) == 1
+
+
+def test_grow_never_spends_the_last_generation(tmp_path):
+    """Growth is an optimization; a healthy shrunk fleet must not be
+    ended by the max_generations bound just to probe up."""
+    sup, _ = _fake_supervisor(
+        tmp_path, ["ready_hang", "ready_die9",     # gen 0: shrink to 1
+                   "ready_exit0"],                 # gen 1: the LAST budget
+        regrow_after_s=0.05, max_generations=2)
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    assert "grow" not in [e["event"] for e in sup._events]
+
+
+def test_regrow_validation():
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    with pytest.raises(ValueError, match="regrow_after_s"):
+        Supervisor([FeedSpec(port=1, checkpoint=Path("/f"))], hosts=1,
+                   regrow_after_s=0.0)
+
+
 def test_ready_timeout_fails_loudly_and_stops_the_fleet(tmp_path):
     sup, spawned = _fake_supervisor(
         tmp_path, ["hang", "hang"], ready_timeout_s=0.5)
@@ -252,7 +318,7 @@ def test_interrupt_stops_fleet_before_reporting(tmp_path):
     sup, spawned = _fake_supervisor(tmp_path, ["ready_hang", "ready_hang"])
     orig_monitor = sup._monitor
 
-    def interrupted_monitor(workers):
+    def interrupted_monitor(workers, hosts):
         raise KeyboardInterrupt
 
     sup._monitor = interrupted_monitor
@@ -354,6 +420,82 @@ def test_supervise_multifeed_lockstep_regroup(tmp_path):
         summary = json.loads(out)
         assert summary["ok"] and summary["coverage"] == {
             str(p): 4 for p in ports}
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass
+
+
+def test_supervise_regrow_cycle(tmp_path):
+    """Elastic re-growth with REAL worker processes: 2 hosts -> SIGKILL
+    one -> regroup to 1 -> after the healthy window the supervisor grows
+    back to a fresh 2-host jax.distributed mesh (new coordinator) and
+    both feeds complete there.  The fake-spawn tests pin the state
+    machine; this pins that a grown generation actually rejoins a real
+    lock-step mesh and resumes from the per-feed checkpoints."""
+    p0, p1 = _free_port(), _free_port()
+    state = tmp_path / "state.jsonl"
+    ckdir = tmp_path / "ck"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         "--feed-port", str(p0), "--feed-port", str(p1),
+         "--checkpoint-dir", str(ckdir), "--target-sectors", "4",
+         "--batch", "2", "--timeout", "5", "--collective-timeout", "15",
+         "--regrow-after", "3", "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        launch0 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 0, "gen-0 launch")
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 0, "gen-0 ready")
+        for port in (p0, p1):
+            _produce(port, 2)
+        ck = {p0: ckdir / f"feed{p0}.npz", p1: ckdir / f"feed{p1}.npz"}
+        deadline = time.monotonic() + 180
+        while any(_coverage(ck[p]) < 2 for p in (p0, p1)):
+            assert time.monotonic() < deadline
+            assert sup.poll() is None
+            time.sleep(0.5)
+
+        victim = next(w for w in launch0["workers"] if w["feeds"] == [p1])
+        os.kill(victim["pid"], signal.SIGKILL)
+        _await_event(state, sup, lambda e: e["event"] == "regroup",
+                     "regroup")
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 1, "gen-1 ready")
+
+        # healthy window elapses -> growth probe back to 2 hosts
+        grow = _await_event(state, sup, lambda e: e["event"] == "grow",
+                            "grow", timeout=120)
+        assert grow["to_hosts"] == 2
+        launch2 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 2, "gen-2 launch")
+        assert len(launch2["workers"]) == 2
+        assert launch2["coordinator"] is not None    # a real mesh again
+        assert launch2["coordinator"] != launch0["coordinator"]
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 2, "gen-2 ready")
+
+        # the rest of the volume arrives on the GROWN mesh
+        for port in (p0, p1):
+            _produce(port, 2, start=2)
+        out, err = sup.communicate(timeout=300)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["reason"] == "target"
+        assert summary["generations"] == 3
+        assert summary["coverage"] == {str(p0): 4, str(p1): 4}
     finally:
         if sup.poll() is None:
             sup.kill()

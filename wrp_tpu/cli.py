@@ -382,6 +382,7 @@ def cmd_supervise(args):
             collective_timeout=args.collective_timeout,
             target_sectors=args.target_sectors,
             max_generations=args.max_generations,
+            regrow_after_s=args.regrow_after,
             zdb_port=args.zdb_port, zdr_port=args.zdr_port,
             result_port=args.result_port,
             ready_timeout_s=args.ready_timeout,
@@ -763,11 +764,18 @@ def main(argv=None):
                         "ends the run with reason ready_timeout; raise "
                         "on hardware with slow cold compiles")
     p.add_argument("--max-generations", type=int, default=8)
+    p.add_argument("--regrow-after", type=float, default=None,
+                   metavar="S",
+                   help="elastic re-growth: after a shrink, once the "
+                        "smaller fleet has been ready and healthy S "
+                        "seconds, probe one host back up toward the "
+                        "starting count (a probe that dies in warmup "
+                        "falls back and waits another window)")
     p.add_argument("--zdb-port", type=int, default=None)
     p.add_argument("--zdr-port", type=int, default=None)
     p.add_argument("--state-file", default=None,
                    help="append one JSON line per supervisor event "
-                        "(launch/ready/host_death/regroup/done)")
+                        "(launch/ready/host_death/regroup/grow/done)")
     p.set_defaults(fn=cmd_supervise)
 
     p = sub.add_parser("volume", help="inspect/export a volume checkpoint")

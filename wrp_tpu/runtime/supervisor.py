@@ -95,6 +95,12 @@ class Supervisor:
       `max_generations` so a deterministic crash loop stays bounded;
     * a generation that never becomes ready within `ready_timeout_s`
       without anyone dying ends the run with reason "ready_timeout";
+    * with `regrow_after_s` set, a SHRUNK fleet probes back up: once the
+      current generation has been ready and healthy that long, the
+      supervisor drains it and relaunches with one more host (toward the
+      starting count).  A probe generation that dies during warmup means
+      the capacity is still gone — fall back to the proven host count
+      ("grow_failed") and wait a full window before probing again;
     * every feed reaching `target_sectors` stored sectors ends the run:
       workers get SIGTERM, the supervisor exits 0;
     * all workers exiting 0 on their own (e.g. `--max-sectors`) also
@@ -105,8 +111,9 @@ class Supervisor:
     Worker stdout/stderr go to per-generation files under `log_dir`
     (postmortems of host deaths need them); `state_file` is truncated
     at start and events stream to it as JSON lines (launch / ready /
-    warmup_retry / host_death / regroup / done) so harnesses — and the
-    tests — can act on supervisor state without scraping logs.
+    ready_timeout / warmup_retry / host_death / regroup / grow /
+    grow_failed / stopped / done) so harnesses — and the tests — can
+    act on supervisor state without scraping logs.
     """
 
     def __init__(
@@ -123,6 +130,7 @@ class Supervisor:
         max_generations: int = 8,
         poll_s: float = 0.5,
         ready_timeout_s: float = 300.0,
+        regrow_after_s: Optional[float] = None,
         zdb_port: Optional[int] = None,
         zdr_port: Optional[int] = None,
         result_port: Optional[int] = None,
@@ -157,6 +165,13 @@ class Supervisor:
         self.max_generations = max_generations
         self.poll_s = poll_s
         self.ready_timeout_s = ready_timeout_s
+        if regrow_after_s is not None and regrow_after_s <= 0:
+            raise ValueError("regrow_after_s must be positive")
+        self.regrow_after_s = regrow_after_s
+        # the starting count is the capacity ceiling: the supervisor was
+        # handed `hosts` slots, so growth probes never exceed it (and the
+        # hosts<=feeds ctor guard keeps every grown host fed)
+        self._max_hosts = hosts
         if len({f.port for f in self.feeds}) != len(self.feeds):
             raise ValueError("duplicate feed ports")
         if len({f.checkpoint for f in self.feeds}) != len(self.feeds):
@@ -391,6 +406,10 @@ class Supervisor:
 
     def _run(self) -> dict:
         hosts = self.hosts
+        # host count to fall back to when the current GROWTH PROBE
+        # generation dies during warmup (the regained capacity was not
+        # real); None whenever the current generation is a proven size
+        probe_from: Optional[int] = None
         while True:
             workers = self._launch_generation(hosts)
             readiness = self._await_ready(workers)
@@ -399,7 +418,17 @@ class Supervisor:
                 # thing would hang the same way — fail loudly
                 self._stop(workers, why="ready_timeout")
                 return self._finish(False, "ready_timeout")
-            reason = self._monitor(workers)
+            if readiness == "ready":
+                probe_from = None          # the grown fleet is real now
+            reason = self._monitor(workers, hosts)
+            if reason == "grow":
+                # the shrunk fleet has been healthy a full window: drain
+                # it (checkpoints follow the feeds) and probe one host up
+                self._stop(workers, why="grow")
+                probe_from = hosts
+                hosts += 1
+                self._event("grow", to_hosts=hosts)
+                continue
             if reason == "regroup":
                 dead = [w for w in workers
                         if w.proc.poll() not in (None, 0)]
@@ -407,6 +436,15 @@ class Supervisor:
                 if self.generation + 1 >= self.max_generations:
                     return self._finish(False, "max_generations")
                 if readiness != "ready":
+                    if probe_from is not None:
+                        # a growth probe that cannot even warm up means
+                        # the capacity is still gone: fall back to the
+                        # proven count and wait a full window to re-probe
+                        hosts = probe_from
+                        probe_from = None
+                        self._event("grow_failed", back_to_hosts=hosts,
+                                    dead=[w.host_id for w in dead])
+                        continue
                     # warmup death: no accepted work was lost, so this
                     # is infra flake (coordinator-port race, OOM blip) —
                     # retry at the SAME host count on a fresh port
@@ -422,7 +460,8 @@ class Supervisor:
             self._stop(workers, why=reason)
             return self._finish(True, reason)
 
-    def _monitor(self, workers: List[_Worker]) -> str:
+    def _monitor(self, workers: List[_Worker], hosts: int) -> str:
+        ready_at = time.monotonic()
         while True:
             if self.target_sectors is not None and all(
                     self._feed_done(f) for f in self.feeds):
@@ -436,4 +475,11 @@ class Supervisor:
                 return "regroup"
             if all(rc == 0 for rc in rcs):
                 return "workers_done"
+            if (self.regrow_after_s is not None
+                    and hosts < self._max_hosts
+                    # growing spends a generation; never end an otherwise
+                    # healthy run on the max_generations bound for it
+                    and self.generation + 1 < self.max_generations
+                    and time.monotonic() - ready_at >= self.regrow_after_s):
+                return "grow"
             time.sleep(self.poll_s)
