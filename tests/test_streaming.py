@@ -240,11 +240,11 @@ def test_zmq_short_body_counts_as_drop(cfg):
 
     time.sleep(0.3)  # PUB/SUB join
     producer.send_sector(b"\x00" * 16)          # short body
-    assert ingest.recv_sector() is None
+    assert ingest.recv_sector() == (None, None)
     assert ingest.stats.dropped_sectors == 1
     (_, wire), = _wire_sectors(cfg, 1)
     producer.send_sector(wire)                   # full body still works
-    assert ingest.recv_sector() == wire
+    assert ingest.recv_sector() == (wire, None)  # 2-part wire: no labels
     assert ingest.stats.sectors == 1
     producer.close()
     ingest.close()
@@ -330,7 +330,7 @@ def test_zmq_loopback_pipeline(cfg):
     time.sleep(0.3)  # PUB/SUB join
 
     class _ZmqAdapter:
-        """ZmqIngest returns bare bytes; executor handles both."""
+        """Caps the sector count so the executor finishes the test."""
 
         def __init__(self, inner, limit):
             self.inner, self.left = inner, limit
@@ -338,10 +338,10 @@ def test_zmq_loopback_pipeline(cfg):
         def recv_sector(self):
             if self.left == 0:
                 raise TimeoutError("done")
-            w = self.inner.recv_sector()
+            w, hdr = self.inner.recv_sector()
             if w is not None:
                 self.left -= 1
-            return w
+            return w, hdr
 
     ex = StreamingExecutor(cfg, transport=_ZmqAdapter(ingest, n_sectors),
                            publish=egress, batch=2, max_sectors=n_sectors)
@@ -500,6 +500,179 @@ def test_multifeed_consolidation_zero_cross_contamination(cfg, method):
                               vols[1].data[0, 1:, 0, 0]) > 1e-3
     for x in ingests + producers:
         x.close()
+
+
+def test_multifeed_zmq_consolidation(cfg):
+    """The consolidation story over the v2 wire: one SUB socket per
+    feed endpoint, per-feed volumes, zero cross-contamination.  ZMQ
+    bodies carry no sector header, so labels are positional per feed —
+    each feed's own counter must advance independently."""
+    import time
+
+    pytest.importorskip("zmq")
+    from wrp_tpu.io.zmq_io import ZmqIngest, ZmqProducer
+    from wrp_tpu.runtime import VolumeScan
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    n_per_feed = 3
+    feeds = 2
+    data = [_wire_sectors(cfg, n_per_feed, seed=30 + f)
+            for f in range(feeds)]
+    ports = [free_port() for _ in range(feeds)]
+    producers = [ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{p}")
+                 for p in ports]
+    ingests = [ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{p}",
+                         timeout_ms=2000) for p in ports]
+    time.sleep(0.3)  # PUB/SUB join
+    vols = [VolumeScan(cfg, None) for _ in range(feeds)]
+    ex = StreamingExecutor(cfg, transport=ingests, volume=vols,
+                           batch=2, max_sectors=n_per_feed, method="mxu")
+    res = []
+    runner = threading.Thread(target=lambda: res.append(ex.run()),
+                              daemon=True)
+    runner.start()
+    time.sleep(0.2)
+    for k in range(n_per_feed):
+        for f in range(feeds):
+            producers[f].send_sector(data[f][k][1])
+    runner.join(timeout=60)
+    assert res, "executor did not finish"
+    stats = res[0]
+    assert stats["processed_sectors"] == feeds * n_per_feed
+    assert [fs["processed_sectors"] for fs in stats["feeds"]] == [
+        n_per_feed, n_per_feed]
+    for f in range(feeds):
+        for k in range(n_per_feed):
+            assert vols[f].coverage[k, 0]
+            zdb64, zdr64 = oracle.process_sector(data[f][k][0], cfg)
+            assert oracle.relative_l2(zdb64, vols[f].data[0, :, k, 0]) < 1e-4
+            assert oracle.relative_l2(zdr64, vols[f].data[1, :, k, 0]) < 1e-4
+    # the feeds carry genuinely different fields: a label mixup between
+    # the SUB sockets would fail the oracle pins above loudly
+    assert oracle.relative_l2(vols[0].data[0, 1:, 0, 0],
+                              vols[1].data[0, 1:, 0, 0]) > 1e-3
+    for x in ingests + producers:
+        x.close()
+
+
+def test_zmq_extended_headers_place_sectors_by_label(cfg):
+    """Opt-in zmq extended framing ([topic, header, body]): the
+    reference's 2-part v2 wire has only positional labels (rpv2.cu
+    sector counter), which mislabels everything after a checkpoint+
+    relaunch; with headers the executor places sectors by the carried
+    (sector, elevation) exactly like the udp `produce --headers` path."""
+    import time
+
+    pytest.importorskip("zmq")
+    from wrp_tpu.io.zmq_io import ZmqIngest, ZmqProducer
+    from wrp_tpu.runtime import VolumeScan
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    port = free_port()
+    producer = ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{port}",
+                           extended_headers=True)
+    ingest = ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{port}",
+                       timeout_ms=2000)
+    time.sleep(0.3)  # PUB/SUB join
+    labels = [(5, 1), (2, 0)]     # non-positional on purpose
+    sectors = _wire_sectors(cfg, len(labels), seed=40)
+    vs = VolumeScan(cfg, None)
+    ex = StreamingExecutor(cfg, transport=ingest, volume=vs,
+                           batch=2, max_sectors=len(labels), method="mxu")
+    res = []
+    runner = threading.Thread(target=lambda: res.append(ex.run()),
+                              daemon=True)
+    runner.start()
+    time.sleep(0.2)
+    for (sec, elev), (_, wire) in zip(labels, sectors):
+        producer.send_sector(wire, sector=sec, elevation=elev)
+    runner.join(timeout=60)
+    assert res, "executor did not finish"
+    for (sec, elev), (iq, _) in zip(labels, sectors):
+        assert vs.coverage[sec, elev]
+        zdb64, _ = oracle.process_sector(iq, cfg)
+        assert oracle.relative_l2(zdb64, vs.data[0, :, sec, elev]) < 1e-4
+    producer.close()
+    ingest.close()
+
+
+def test_zmq_producer_process_exit_flushes_tail(cfg, tmp_path):
+    """Regression: `cli produce --transport zmq` used to exit right
+    after the last send, dropping the queued message (PUB sends go to
+    an io thread; a whole sector is MBs) — close() must block until
+    delivered or the bounded linger expires.  Caught live: a 3-sector
+    produce delivered NOTHING to a connected SUB."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    pytest.importorskip("zmq")
+    import zmq as _zmq
+
+    repo = Path(__file__).resolve().parent.parent
+    port = _free_port_streaming()
+    ctx = _zmq.Context.instance()
+    sub = ctx.socket(_zmq.SUB)
+    sub.connect(f"tcp://127.0.0.1:{port}")
+    sub.setsockopt(_zmq.SUBSCRIBE, b"A")
+    sub.setsockopt(_zmq.RCVTIMEO, 30000)
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(repo),
+           "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    subprocess.run(
+        [_sys.executable, "-m", "wrp_tpu.cli", "produce",
+         "--transport", "zmq", "--zmq-bind", f"tcp://127.0.0.1:{port}",
+         "--sectors", "1", "--headers"],     # NO --rate: no sleep after send
+        cwd=repo, check=True, capture_output=True, timeout=120, env=env)
+    try:
+        parts = sub.recv_multipart()
+    except _zmq.Again:
+        raise AssertionError("producer exited without flushing its tail")
+    from wrp_tpu.config import DEFAULT_CONFIG
+
+    assert len(parts) == 3                    # topic, header, body
+    assert len(parts[-1]) == DEFAULT_CONFIG.sector_nbytes_wire
+    sub.close(0)
+
+
+def _free_port_streaming():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_feed_endpoint_flag_validation(capsys):
+    """--feed-endpoint is zmq-only, --feed-port is udp/tcp-only, and
+    duplicate endpoints are refused (two SUBs on one endpoint would
+    each receive every message)."""
+    from wrp_tpu import cli
+
+    rc = cli.main(["stream", "--transport", "udp",
+                   "--feed-endpoint", "tcp://127.0.0.1:5563"])
+    assert rc == 2
+    assert "zmq transport only" in capsys.readouterr().err
+    rc = cli.main(["stream", "--transport", "zmq",
+                   "--feed-endpoint", "tcp://127.0.0.1:5563",
+                   "--feed-endpoint", "tcp://127.0.0.1:5563"])
+    assert rc == 2
+    assert "duplicate --feed-endpoint" in capsys.readouterr().err
+    rc = cli.main(["stream", "--transport", "zmq",
+                   "--feed-port", "9000"])
+    assert rc == 2
+    assert "--feed-endpoint" in capsys.readouterr().err
 
 
 def test_sigterm_graceful_shutdown(tmp_path):

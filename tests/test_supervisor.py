@@ -553,6 +553,59 @@ def test_supervise_tcp_single_host(tmp_path):
                         pass
 
 
+def test_supervise_zmq_feeds(tmp_path):
+    """Supervised v2 wire: zmq feeds are ENDPOINTS the workers' SUB
+    sockets connect to; producers send `--headers` so sectors carry
+    labels (the bare 2-part v2 wire is positional and cannot resume
+    soundly across generations).  One host, two feeds, target reached,
+    checkpoints keyed by sanitized endpoint."""
+    pytest.importorskip("zmq")
+    e0 = f"tcp://127.0.0.1:{_free_port()}"
+    e1 = f"tcp://127.0.0.1:{_free_port()}"
+    state = tmp_path / "state.jsonl"
+    ckdir = tmp_path / "ck"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         "--transport", "zmq", "--hosts", "1",
+         "--feed-endpoint", e0, "--feed-endpoint", e1,
+         "--checkpoint-dir", str(ckdir), "--target-sectors", "2",
+         "--batch", "2", "--timeout", "5",
+         "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        launch0 = _await_event(state, sup,
+                               lambda e: e["event"] == "launch", "launch")
+        assert launch0["workers"][0]["feeds"] == [e0, e1]
+        assert launch0["workers"][0]["zmq_pub"]   # recorded for consumers
+        _await_event(state, sup, lambda e: e["event"] == "ready", "ready")
+        for endpoint in (e0, e1):
+            subprocess.run(
+                [sys.executable, "-m", "wrp_tpu.cli", "produce",
+                 "--transport", "zmq", "--zmq-bind", endpoint,
+                 "--sectors", "2", "--headers", "--rate", "2"],
+                cwd=REPO, check=True, capture_output=True, timeout=120,
+                env=_cpu_env())
+        out, _err = sup.communicate(timeout=240)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     _err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["coverage"] == {e0: 2, e1: 2}
+        # checkpoint files derive from the sanitized endpoint
+        assert len(list(ckdir.glob("feed-tcp-127.0.0.1-*.npz"))) == 2
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass
+
+
 def test_supervise_regroup_completes(tmp_path):
     """Full loop: 2 hosts x 1 feed -> SIGKILL host 1 -> supervisor
     regroups to 1 host x 2 feeds -> both feeds reach the target and the

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
 import time
 
@@ -222,20 +223,30 @@ def cmd_stream(args):
     if args.feed_port and args.transport == "zmq":
         # refuse rather than silently ignoring the user's feed list and
         # listening on one default endpoint (data loss, no diagnostic);
-        # zmq feeds are endpoints, not ports, and a single SUB socket
-        # cannot attribute messages to feeds
-        print("--feed-port supports the udp and tcp transports only",
+        # zmq feeds are endpoints, not ports — use --feed-endpoint
+        print("--feed-port supports the udp and tcp transports only; "
+              "zmq feeds are endpoints (--feed-endpoint)",
               file=sys.stderr)
         return 2
+    if args.feed_endpoint and args.transport != "zmq":
+        print("--feed-endpoint supports the zmq transport only; "
+              "udp/tcp feeds are ports (--feed-port)", file=sys.stderr)
+        return 2
+    if args.feed_endpoint and len(set(args.feed_endpoint)) != len(
+            args.feed_endpoint):
+        # two SUBs on one endpoint would each receive EVERY message:
+        # duplicated sectors under colliding per-feed labels
+        print("duplicate --feed-endpoint values", file=sys.stderr)
+        return 2
+    feed_list = args.feed_port or args.feed_endpoint or []
     if args.feed_checkpoint:
         # explicit per-feed checkpoint paths: the supervisor keys
         # checkpoints by FEED so they survive regroups that move a feed
         # to a different host (runtime/supervisor.py); counts must match
         # or volumes would silently shift feeds
-        if not args.feed_port or len(args.feed_checkpoint) != len(
-                args.feed_port):
-            print("--feed-checkpoint needs one path per --feed-port",
-                  file=sys.stderr)
+        if not feed_list or len(args.feed_checkpoint) != len(feed_list):
+            print("--feed-checkpoint needs one path per --feed-port/"
+                  "--feed-endpoint", file=sys.stderr)
             return 2
         if len(set(args.feed_checkpoint)) != len(args.feed_checkpoint):
             # two volumes over one file: last save() wins and silently
@@ -269,9 +280,16 @@ def cmd_stream(args):
     else:
         from .io.zmq_io import ZmqIngest, ZmqEgress
 
-        transport = ZmqIngest(
-            cfg, endpoint=args.zmq_sub,
-            timeout_ms=int(args.timeout * 1e3) if args.timeout else None)
+        timeout_ms = int(args.timeout * 1e3) if args.timeout else None
+        if args.feed_endpoint:
+            # multi-feed consolidation over v2 wire: one SUB socket per
+            # feed endpoint (a single SUB cannot attribute messages to
+            # feeds), one shared PUB egress — same shape as udp/tcp
+            transport = [ZmqIngest(cfg, endpoint=e, timeout_ms=timeout_ms)
+                         for e in args.feed_endpoint]
+        else:
+            transport = ZmqIngest(cfg, endpoint=args.zmq_sub,
+                                  timeout_ms=timeout_ms)
         publish = ZmqEgress(cfg, endpoint=args.zmq_pub)
 
     processor = None
@@ -314,6 +332,10 @@ def cmd_stream(args):
         on_ready=_ready_marker(args.ready_file),
     )
     stats = ex.run()
+    if args.transport == "zmq" and publish is not None:
+        # flush queued result frames before exit (bounded linger term);
+        # udp/tcp writes complete synchronously in send()
+        publish.close()
     if volume is not None and (args.checkpoint or args.feed_checkpoint):
         vols = volume if isinstance(volume, list) else [volume]
         for v in vols:
@@ -372,8 +394,28 @@ def cmd_supervise(args):
     signal.signal(signal.SIGTERM, _sigterm)
     ckdir = Path(args.checkpoint_dir)
     ckdir.mkdir(parents=True, exist_ok=True)
-    feeds = [FeedSpec(port=p, checkpoint=ckdir / f"feed{p}.npz")
-             for p in args.feed_port]
+    if args.transport == "zmq":
+        if not args.feed_endpoint:
+            print("zmq supervision needs --feed-endpoint (zmq feeds are "
+                  "endpoints the workers' SUB sockets connect to)",
+                  file=sys.stderr)
+            return 2
+        # checkpoint names derive from the endpoint (sanitized), so the
+        # same feed maps to the same file across supervisor RESTARTS,
+        # not just across generations
+        feeds = [FeedSpec(port=None, endpoint=e,
+                          checkpoint=ckdir / (
+                              "feed-"
+                              + re.sub(r"[^A-Za-z0-9_.-]+", "-", e)
+                              + ".npz"))
+                 for e in args.feed_endpoint]
+    else:
+        if not args.feed_port:
+            print(f"{args.transport} supervision needs --feed-port",
+                  file=sys.stderr)
+            return 2
+        feeds = [FeedSpec(port=p, checkpoint=ckdir / f"feed{p}.npz")
+                 for p in args.feed_port]
     try:
         sup = Supervisor(
             feeds, args.hosts if args.hosts is not None else len(feeds),
@@ -467,7 +509,8 @@ def cmd_produce(args):
     else:
         from .io.zmq_io import ZmqProducer
 
-        producer = ZmqProducer(cfg, endpoint=args.zmq_bind)
+        producer = ZmqProducer(cfg, endpoint=args.zmq_bind,
+                               extended_headers=args.headers)
         time.sleep(args.connect_delay)  # PUB/SUB join grace
 
     replay_wire = None
@@ -501,6 +544,10 @@ def cmd_produce(args):
         sent += 1
         if args.rate:
             time.sleep(1.0 / args.rate)
+    # flush before exit: a zmq PUB queues sends to an io thread, and a
+    # producer exiting right away drops the queued tail (a whole sector
+    # is 6.3 MB); close() blocks until delivered or the linger bound
+    producer.close()
     print(f"sent {sent} sectors", file=sys.stderr)
     return 0
 
@@ -689,6 +736,12 @@ def main(argv=None):
                         "radar feeds into one processor (one ingest per "
                         "port, per-feed stats and checkpoints); overrides "
                         "--ingest-port")
+    p.add_argument("--feed-endpoint", action="append", default=None,
+                   metavar="ENDPOINT",
+                   help="zmq transport: repeat to multiplex several v2 "
+                        "feeds into one processor (one SUB socket per "
+                        "endpoint, per-feed stats and checkpoints); "
+                        "overrides --zmq-sub")
     p.add_argument("--zdb-port", type=int, default=None)
     p.add_argument("--zdr-port", type=int, default=None)
     p.add_argument("--zmq-sub", default=None)
@@ -700,10 +753,10 @@ def main(argv=None):
     p.add_argument("--feed-checkpoint", action="append", default=None,
                    metavar="PATH",
                    help="explicit per-feed volume .npz (repeat once per "
-                        "--feed-port, same order) — checkpoints keyed by "
-                        "feed so a supervisor can move feeds between "
-                        "hosts across regroups; overrides --checkpoint "
-                        "naming")
+                        "--feed-port/--feed-endpoint, same order) — "
+                        "checkpoints keyed by feed so a supervisor can "
+                        "move feeds between hosts across regroups; "
+                        "overrides --checkpoint naming")
     p.add_argument("--checkpoint-every", type=float, default=30.0,
                    help="periodic save interval in seconds (0 saves "
                         "every batch; negative disables periodic saves)")
@@ -740,9 +793,18 @@ def main(argv=None):
         "supervise",
         help="launch + watch a lock-step stream fleet; regroup on death")
     _add_common(p)
-    p.add_argument("--transport", default="udp", choices=["udp", "tcp"])
-    p.add_argument("--feed-port", type=int, action="append", required=True,
-                   metavar="PORT", help="one radar feed per flag")
+    p.add_argument("--transport", default="udp",
+                   choices=["udp", "tcp", "zmq"])
+    p.add_argument("--feed-port", type=int, action="append", default=None,
+                   metavar="PORT",
+                   help="udp/tcp: one radar feed per flag")
+    p.add_argument("--feed-endpoint", action="append", default=None,
+                   metavar="ENDPOINT",
+                   help="zmq: one v2 feed (PUB endpoint to subscribe) "
+                        "per flag; pair with `produce --headers` so "
+                        "sectors carry labels — the bare v2 wire is "
+                        "positional and cannot resume soundly after a "
+                        "regroup")
     p.add_argument("--result-port", type=int, default=None,
                    help="tcp transport: result collector port")
     p.add_argument("--hosts", type=int, default=None,

@@ -48,8 +48,11 @@ class ZmqIngest:
         if timeout_ms is not None:
             self.sock.setsockopt(zmq.RCVTIMEO, timeout_ms)
 
-    def recv_sector(self) -> Optional[bytes]:
-        """One sector's wire bytes, or None on timeout/short message.
+    def recv_sector(self) -> Tuple[Optional[bytes], Optional[frames.IngestHeader]]:
+        """(wire bytes | None, IngestHeader | None) — None bytes on
+        timeout/short message; the header is present only when the
+        producer opted into extended framing (same uniform contract as
+        UdpIngest/TcpIngest, so executors place sectors by label).
 
         A short body is a lost sector, not an idle wire: it counts as
         dropped in `stats` (round-1 VERDICT: ZMQ drops were invisible —
@@ -58,16 +61,26 @@ class ZmqIngest:
             parts = self.sock.recv_multipart()
         except zmq.Again:
             self.stats.timeouts += 1
-            return None
+            return None, None
         self.stats.datagrams += 1
-        # envelope = [topic, body] (zhelpers s_sendmore/s_send convention)
+        # envelope = [topic, body] (zhelpers s_sendmore/s_send convention);
+        # extended framing inserts a header frame: [topic, header, body].
+        # The reference's 2-part wire carries no labels (rpv2.cu:356-358,
+        # sector ids are positional), which is unsound across a
+        # checkpoint+relaunch — the opt-in header fixes that for zmq the
+        # way `produce --headers` does for udp.
         body = parts[-1]
+        header = None
+        if len(parts) >= 3:
+            h, rest = frames.try_unpack_ingest_row(parts[-2])
+            if h is not None and not rest:
+                header = h
         want = self.cfg.sector_nbytes_wire
         if len(body) < want:
             self.stats.dropped_sectors += 1
-            return None
+            return None, None
         self.stats.sectors += 1
-        return body[:want]
+        return body[:want], header
 
     def close(self):
         self.sock.close(0)
@@ -81,7 +94,9 @@ class ZmqEgress:
                  endpoint: str | None = None):
         _require_zmq()
         self.cfg = cfg
-        self.ctx = zmq.Context.instance()
+        # private context, same reason as ZmqProducer: the final result
+        # frames of a draining stream process must flush before exit
+        self.ctx = zmq.Context()
         self.sock = self.ctx.socket(zmq.PUB)
         self.sock.bind(endpoint or cfg.zmq_pub_endpoint)
 
@@ -94,8 +109,9 @@ class ZmqEgress:
             [self.cfg.zmq_zdr_topic, frames.pack_result_v2(sector, elevation, zdr)]
         )
 
-    def close(self):
-        self.sock.close(0)
+    def close(self, linger_ms: int = 5000):
+        self.sock.close(linger_ms)
+        self.ctx.term()
 
 
 class ZmqProducer:
@@ -103,19 +119,39 @@ class ZmqProducer:
     external data source of the reference's v2 topology)."""
 
     def __init__(self, cfg: RadarConfig = DEFAULT_CONFIG,
-                 endpoint: str = "tcp://*:5563"):
+                 endpoint: str = "tcp://*:5563",
+                 extended_headers: bool = False):
+        """extended_headers: insert a label frame ([topic, header, body])
+        so the processor places sectors by (sector, elevation) instead of
+        positionally; off by default — the reference's v2 wire is the
+        2-part form (rpv2.cu:356-358)."""
         _require_zmq()
         self.cfg = cfg
-        self.ctx = zmq.Context.instance()
+        self.extended = extended_headers
+        # a PRIVATE context so close() can term it: PUB sends are queued
+        # to an io thread, and a producer process exiting right after
+        # send_sector drops the queued message on the floor (a 6.3 MB
+        # sector takes real time to flush); term() blocks until pending
+        # sends deliver or the bounded linger expires
+        self.ctx = zmq.Context()
         self.sock = self.ctx.socket(zmq.PUB)
         self.sock.bind(endpoint)
 
     def send_sector(self, wire: bytes, sector: int = 0,
                     elevation: int = 0) -> None:
-        self.sock.send_multipart([self.cfg.zmq_ingest_topic, wire])
+        if self.extended:
+            hdr = frames.pack_ingest_row(
+                frames.IngestHeader(sector, elevation, 0), b"")
+            self.sock.send_multipart(
+                [self.cfg.zmq_ingest_topic, hdr, wire])
+        else:
+            self.sock.send_multipart([self.cfg.zmq_ingest_topic, wire])
 
-    def close(self):
-        self.sock.close(0)
+    def close(self, linger_ms: int = 5000):
+        """Flushes queued sectors (bounded): close(0) here lost the last
+        messages of every short-lived producer process."""
+        self.sock.close(linger_ms)
+        self.ctx.term()
 
 
 class ZmqResultConsumer:

@@ -114,7 +114,8 @@ class StreamingExecutor:
     """Pull sectors from a transport, process in batches, publish products.
 
     transport: object with `recv_sector() -> (bytes | None, header | None)`
-               (UdpIngest) or `recv_sector() -> bytes | None` (ZmqIngest);
+               (UdpIngest/TcpIngest/ZmqIngest) or a bare
+               `recv_sector() -> bytes | None`;
                or a LIST of such objects — the multi-feed consolidation
                mode: one chip multiplexes several radar feeds (DESIGN.md
                section 6), each feed with its own ingest thread, implicit

@@ -56,11 +56,19 @@ def _free_port() -> int:
 
 @dataclasses.dataclass(frozen=True)
 class FeedSpec:
-    """One radar feed: an ingest port plus the checkpoint that FOLLOWS
-    the feed across regroups (never keyed by host)."""
+    """One radar feed plus the checkpoint that FOLLOWS the feed across
+    regroups (never keyed by host).  udp/tcp feeds are ingest ports the
+    worker binds; zmq feeds are endpoints the worker's SUB connects to
+    (set `endpoint`, leave `port` None)."""
 
-    port: int
+    port: Optional[int]
     checkpoint: Path
+    endpoint: Optional[str] = None
+
+    @property
+    def feed_id(self):
+        """Stable identity for events/coverage keys."""
+        return self.port if self.port is not None else self.endpoint
 
 
 @dataclasses.dataclass
@@ -150,10 +158,13 @@ class Supervisor:
             # a host with zero feeds would idle forever and (in lock-step
             # mode) starve the mesh into everyone's collective timeout
             raise ValueError(f"{hosts} hosts but only {len(feeds)} feeds")
-        if transport not in ("udp", "tcp"):
-            # zmq feeds are endpoints, not ports; the executor's
-            # multi-feed mode (and so the supervisor) is udp/tcp only
+        if transport not in ("udp", "tcp", "zmq"):
             raise ValueError(f"unsupported transport {transport!r}")
+        for f in feeds:
+            if transport == "zmq" and not f.endpoint:
+                raise ValueError("zmq feeds need endpoint=, not port=")
+            if transport != "zmq" and f.port is None:
+                raise ValueError(f"{transport} feeds need port=")
         self.feeds = list(feeds)
         self.hosts = hosts
         self.transport = transport
@@ -172,7 +183,7 @@ class Supervisor:
         # handed `hosts` slots, so growth probes never exceed it (and the
         # hosts<=feeds ctor guard keeps every grown host fed)
         self._max_hosts = hosts
-        if len({f.port for f in self.feeds}) != len(self.feeds):
+        if len({f.feed_id for f in self.feeds}) != len(self.feeds):
             raise ValueError("duplicate feed ports")
         if len({f.checkpoint for f in self.feeds}) != len(self.feeds):
             raise ValueError("duplicate feed checkpoints (two volumes "
@@ -252,8 +263,17 @@ class Supervisor:
             "--ready-file", str(ready),
             "--collective-timeout", str(self.collective_timeout),
         ]
-        for f in feeds:
-            argv += ["--feed-port", str(f.port)]
+        if self.transport == "zmq":
+            for f in feeds:
+                argv += ["--feed-endpoint", str(f.endpoint)]
+            # ZmqEgress BINDS its pub endpoint: co-hosted workers need
+            # distinct ones; the launch event records each worker's as
+            # zmq_pub so consumers can subscribe (per-feed checkpoints
+            # stay the authoritative volumes either way)
+            argv += ["--zmq-pub", f"tcp://127.0.0.1:{_free_port()}"]
+        else:
+            for f in feeds:
+                argv += ["--feed-port", str(f.port)]
         for f in feeds:
             argv += ["--feed-checkpoint", str(f.checkpoint)]
         if self.zdb_port is not None:
@@ -279,20 +299,24 @@ class Supervisor:
         # started workers visible to run()'s cleanup, not orphan them
         workers: List[_Worker] = []
         self._workers = workers
+        pubs: List[Optional[str]] = []
         for host_id, share in enumerate(shares):
             ready = self._tmp / f"ready-g{self.generation}-h{host_id}"
             logf = (self.log_dir / f"g{self.generation}-h{host_id}.log"
                     if self.log_dir else None)
             argv = self._worker_argv(host_id, hosts, share, ready,
                                      coordinator)
+            pubs.append(argv[argv.index("--zmq-pub") + 1]
+                        if "--zmq-pub" in argv else None)
             proc = self._spawn(argv, self.env, logf)
             workers.append(_Worker(host_id, share, proc, ready, logf))
         self._event("launch", hosts=hosts, coordinator=coordinator,
                     workers=[{"host_id": w.host_id, "pid": w.proc.pid,
-                              "feeds": [f.port for f in w.feeds],
+                              "feeds": [f.feed_id for f in w.feeds],
+                              "zmq_pub": pub,
                               "log": str(w.log_file) if w.log_file
                               else None}
-                             for w in workers])
+                             for w, pub in zip(workers, pubs)])
         return workers
 
     def _await_ready(self, workers: List[_Worker]) -> str:
@@ -372,7 +396,8 @@ class Supervisor:
         return self._feed_coverage(feed) >= self.target_sectors
 
     def _coverage(self) -> dict:
-        return {str(f.port): self._feed_coverage(f) for f in self.feeds}
+        return {str(f.feed_id): self._feed_coverage(f)
+                for f in self.feeds}
 
     # ------------------------------------------------------------- run
 
@@ -471,7 +496,8 @@ class Supervisor:
                 for w, rc in zip(workers, rcs):
                     if rc not in (None, 0):
                         self._event("host_death", host_id=w.host_id,
-                                    rc=rc, feeds=[f.port for f in w.feeds])
+                                    rc=rc,
+                                    feeds=[f.feed_id for f in w.feeds])
                 return "regroup"
             if all(rc == 0 for rc in rcs):
                 return "workers_done"
