@@ -19,6 +19,14 @@ from wrp_tpu.io.udp import UdpIngest, UdpEgress, UdpProducer
 from wrp_tpu.runtime import StreamingExecutor
 
 
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
 @pytest.fixture()
 def cfg():
     return tiny_config(m=32, n=16)
@@ -221,18 +229,14 @@ def test_udp_duplicate_plus_lost_row_detected(cfg, native):
 
 def test_zmq_short_body_counts_as_drop(cfg):
     """ZMQ ingest drops were invisible in round 1 (no stats object): a
-    short body must count as a dropped sector in the uniform IngestStats."""
+    short body must count as a dropped sector in the uniform IngestStats
+    AND raise like UdpIngest's lost-sector path, so the executor advances
+    the positional counter — returning None here looked idle and shifted
+    every later sector of a header-less feed one label early."""
     zmq = pytest.importorskip("zmq")  # noqa: F841
     from wrp_tpu.io.zmq_io import ZmqIngest, ZmqProducer
 
-    def free_port():
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        p = s.getsockname()[1]
-        s.close()
-        return p
-
-    port = free_port()
+    port = _free_port()
     producer = ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{port}")
     ingest = ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{port}",
                        timeout_ms=2000)
@@ -240,7 +244,8 @@ def test_zmq_short_body_counts_as_drop(cfg):
 
     time.sleep(0.3)  # PUB/SUB join
     producer.send_sector(b"\x00" * 16)          # short body
-    assert ingest.recv_sector() == (None, None)
+    with pytest.raises(TimeoutError, match="short zmq body"):
+        ingest.recv_sector()
     assert ingest.stats.dropped_sectors == 1
     (_, wire), = _wire_sectors(cfg, 1)
     producer.send_sector(wire)                   # full body still works
@@ -311,14 +316,7 @@ def test_zmq_loopback_pipeline(cfg):
     sectors = _wire_sectors(cfg, n_sectors, seed=6)
 
     # pick free tcp ports
-    def free_port():
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        p = s.getsockname()[1]
-        s.close()
-        return p
-
-    ingest_port, result_port = free_port(), free_port()
+    ingest_port, result_port = _free_port(), _free_port()
     producer = ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{ingest_port}")
     ingest = ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{ingest_port}",
                        timeout_ms=3000)
@@ -513,18 +511,11 @@ def test_multifeed_zmq_consolidation(cfg):
     from wrp_tpu.io.zmq_io import ZmqIngest, ZmqProducer
     from wrp_tpu.runtime import VolumeScan
 
-    def free_port():
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        p = s.getsockname()[1]
-        s.close()
-        return p
-
     n_per_feed = 3
     feeds = 2
     data = [_wire_sectors(cfg, n_per_feed, seed=30 + f)
             for f in range(feeds)]
-    ports = [free_port() for _ in range(feeds)]
+    ports = [_free_port() for _ in range(feeds)]
     producers = [ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{p}")
                  for p in ports]
     ingests = [ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{p}",
@@ -573,14 +564,7 @@ def test_zmq_extended_headers_place_sectors_by_label(cfg):
     from wrp_tpu.io.zmq_io import ZmqIngest, ZmqProducer
     from wrp_tpu.runtime import VolumeScan
 
-    def free_port():
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        p = s.getsockname()[1]
-        s.close()
-        return p
-
-    port = free_port()
+    port = _free_port()
     producer = ZmqProducer(cfg, endpoint=f"tcp://127.0.0.1:{port}",
                            extended_headers=True)
     ingest = ZmqIngest(cfg, endpoint=f"tcp://127.0.0.1:{port}",
@@ -622,7 +606,7 @@ def test_zmq_producer_process_exit_flushes_tail(cfg, tmp_path):
     import zmq as _zmq
 
     repo = Path(__file__).resolve().parent.parent
-    port = _free_port_streaming()
+    port = _free_port()
     ctx = _zmq.Context.instance()
     sub = ctx.socket(_zmq.SUB)
     sub.connect(f"tcp://127.0.0.1:{port}")
@@ -644,14 +628,6 @@ def test_zmq_producer_process_exit_flushes_tail(cfg, tmp_path):
     assert len(parts) == 3                    # topic, header, body
     assert len(parts[-1]) == DEFAULT_CONFIG.sector_nbytes_wire
     sub.close(0)
-
-
-def _free_port_streaming():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    p = s.getsockname()[1]
-    s.close()
-    return p
 
 
 def test_feed_endpoint_flag_validation(capsys):

@@ -263,6 +263,49 @@ def test_grow_never_spends_the_last_generation(tmp_path):
     assert "grow" not in [e["event"] for e in sup._events]
 
 
+def test_grow_budgets_probe_and_fallback(tmp_path):
+    """The grow guard must leave room for the probe AND its
+    warmup-death fallback: with max_generations=3 a probe launched from
+    gen 1 would have no fallback slot left, so no probe may fire and the
+    healthy shrunk fleet runs to completion.  (Regression: the guard was
+    off by one — a failed probe at the last slot ended a healthy run
+    with ok=False reason=max_generations instead of falling back.)"""
+    sup, _ = _fake_supervisor(
+        tmp_path, ["ready_hang", "ready_die9",     # gen 0: shrink to 1
+                   "ready_exit0"],                 # gen 1: healthy, finishes
+        regrow_after_s=0.05, max_generations=3)
+    out = sup.run()
+    assert out["ok"] and out["reason"] == "workers_done"
+    assert "grow" not in [e["event"] for e in sup._events]
+
+
+def test_supervise_feed_flag_kind_validation(tmp_path, capsys):
+    """supervise must refuse mismatched feed-flag kinds loudly (same
+    contract as cmd_stream) instead of silently dropping feeds."""
+    from wrp_tpu import cli
+
+    rc = cli.main(["supervise", "--transport", "zmq",
+                   "--feed-endpoint", "tcp://127.0.0.1:5563",
+                   "--feed-port", "9001",
+                   "--checkpoint-dir", str(tmp_path / "a")])
+    assert rc == 2
+    assert "udp and tcp transports only" in capsys.readouterr().err
+    rc = cli.main(["supervise", "--transport", "udp",
+                   "--feed-port", "9001",
+                   "--feed-endpoint", "tcp://127.0.0.1:5563",
+                   "--checkpoint-dir", str(tmp_path / "b")])
+    assert rc == 2
+    assert "zmq transport only" in capsys.readouterr().err
+    rc = cli.main(["supervise", "--transport", "zmq",
+                   "--checkpoint-dir", str(tmp_path / "c")])
+    assert rc == 2
+    assert "--feed-endpoint" in capsys.readouterr().err
+    rc = cli.main(["supervise", "--transport", "udp",
+                   "--checkpoint-dir", str(tmp_path / "d")])
+    assert rc == 2
+    assert "--feed-port" in capsys.readouterr().err
+
+
 def test_regrow_validation():
     from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
 

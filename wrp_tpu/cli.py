@@ -395,6 +395,13 @@ def cmd_supervise(args):
     ckdir = Path(args.checkpoint_dir)
     ckdir.mkdir(parents=True, exist_ok=True)
     if args.transport == "zmq":
+        if args.feed_port:
+            # refuse rather than silently dropping the --feed-port
+            # feeds (same contract as cmd_stream's mismatch checks)
+            print("--feed-port supports the udp and tcp transports "
+                  "only; zmq feeds are endpoints (--feed-endpoint)",
+                  file=sys.stderr)
+            return 2
         if not args.feed_endpoint:
             print("zmq supervision needs --feed-endpoint (zmq feeds are "
                   "endpoints the workers' SUB sockets connect to)",
@@ -410,6 +417,11 @@ def cmd_supervise(args):
                               + ".npz"))
                  for e in args.feed_endpoint]
     else:
+        if args.feed_endpoint:
+            print("--feed-endpoint supports the zmq transport only; "
+                  "udp/tcp feeds are ports (--feed-port)",
+                  file=sys.stderr)
+            return 2
         if not args.feed_port:
             print(f"{args.transport} supervision needs --feed-port",
                   file=sys.stderr)

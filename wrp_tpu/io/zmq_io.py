@@ -78,7 +78,14 @@ class ZmqIngest:
         want = self.cfg.sector_nbytes_wire
         if len(body) < want:
             self.stats.dropped_sectors += 1
-            return None, None
+            # raise like UdpIngest does for a lost sector so the
+            # executor ADVANCES the positional counter: returning None
+            # here looked idle, silently shifting every later sector of
+            # a header-less feed one label early (and counting toward
+            # --idle-limit)
+            raise TimeoutError(
+                f"short zmq body ({len(body)} < {want} bytes); "
+                "sector dropped")
         self.stats.sectors += 1
         return body[:want], header
 

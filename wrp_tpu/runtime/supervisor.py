@@ -503,9 +503,13 @@ class Supervisor:
                 return "workers_done"
             if (self.regrow_after_s is not None
                     and hosts < self._max_hosts
-                    # growing spends a generation; never end an otherwise
-                    # healthy run on the max_generations bound for it
-                    and self.generation + 1 < self.max_generations
+                    # growing must never end an otherwise healthy run on
+                    # the max_generations bound: budget BOTH the probe
+                    # generation AND its warmup-death fallback relaunch,
+                    # or a failed probe at the last slot would finish the
+                    # run with reason max_generations instead of falling
+                    # back to the proven fleet
+                    and self.generation + 2 < self.max_generations
                     and time.monotonic() - ready_at >= self.regrow_after_s):
                 return "grow"
             time.sleep(self.poll_s)
