@@ -86,6 +86,38 @@ def test_volume_inspect_and_export(tmp_path, capsys):
                                    cfg.num_elevations)
 
 
+def test_volume_export_ascii_reference_format(tmp_path, capsys):
+    """`volume --export-ascii` writes one 99result-format file per
+    covered sector (the reference's out/99result.*.out layout), so
+    reference-era tooling and `cli compare` consume framework volumes
+    directly — including -inf bins, which the comparator skips."""
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io.files import read_result_file
+    from wrp_tpu.runtime import VolumeScan
+
+    cfg = tiny_config(m=16, n=8)
+    vs = VolumeScan(cfg, tmp_path / "v.npz")
+    zdb = np.arange(8, dtype=np.float32)
+    zdb[0] = -np.inf                      # bin 0 is always -inf (z[0]=0)
+    vs.store(5, 1, zdb, np.full(8, 2.5, dtype=np.float32))
+    vs.store(7, 0, zdb + 1, np.full(8, 3.5, dtype=np.float32))
+    vs.save()
+
+    outdir = tmp_path / "ascii"
+    rc = cli.main(["volume", str(tmp_path / "v.npz"),
+                   "--export-ascii", str(outdir)])
+    assert rc == 0
+    files = sorted(p.name for p in outdir.iterdir())
+    assert files == ["s005e1.out", "s007e0.out"]
+    got_zdb, got_zdr = read_result_file(outdir / "s005e1.out")
+    assert got_zdb[0] == -np.inf          # -inf survives the round trip
+    np.testing.assert_allclose(got_zdb[1:], zdb[1:], rtol=1e-5)
+    np.testing.assert_allclose(got_zdr, 2.5)
+    # the exported file IS comparable with the reference comparator CLI
+    assert cli.main(["compare", str(outdir / "s005e1.out"),
+                     str(outdir / "s005e1.out")]) == 0
+
+
 def test_process_ascii_stdin_read_cc_format(tmp_path, monkeypatch):
     """P1 parity (read.cc:106-123): a reference-era ASCII IQ capture —
     "<i> <q>" pairs, all hh then all vv — replayed on stdin produces

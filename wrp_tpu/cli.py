@@ -479,6 +479,25 @@ def cmd_volume(args):
         np.savez(args.export, zdb=vs.data[0], zdr=vs.data[1],
                  coverage=vs.coverage)
         print(f"exported -> {args.export}", file=sys.stderr)
+    if args.export_ascii:
+        # reference interop: one 99result-format file per covered sector
+        # (lines of "zdb zdr", out/99result.cpu.out) so reference-era
+        # tooling — or `cli compare` — can consume framework volumes
+        from pathlib import Path
+
+        from .io.files import write_ascii_matrix
+
+        outdir = Path(args.export_ascii)
+        outdir.mkdir(parents=True, exist_ok=True)
+        n_files = 0
+        for sec, elev in np.argwhere(covered):
+            pair = np.stack([vs.data[0, :, sec, elev],
+                             vs.data[1, :, sec, elev]], axis=1)
+            write_ascii_matrix(outdir / f"s{int(sec):03d}e{int(elev)}.out",
+                               pair)
+            n_files += 1
+        print(f"exported {n_files} sectors (99result format) -> {outdir}",
+              file=sys.stderr)
     if args.render:
         from . import viz
 
@@ -855,6 +874,11 @@ def main(argv=None):
     p = sub.add_parser("volume", help="inspect/export a volume checkpoint")
     p.add_argument("checkpoint", help="volume .npz path")
     p.add_argument("--export", default=None, help="write plain .npz arrays")
+    p.add_argument("--export-ascii", default=None, metavar="DIR",
+                   help="write one 99result-format ASCII file per covered "
+                        "sector ('zdb zdr' lines, the reference's "
+                        "out/99result.*.out format) for reference-era "
+                        "tooling and `cli compare`")
     p.add_argument("--render", default=None, metavar="OUT.ppm",
                    help="render a PPI image of one elevation cut (binary "
                         "PPM, no imaging deps)")
