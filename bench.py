@@ -71,10 +71,16 @@ def main():
                          "would emit for free), isolating the "
                          "in-kernel concat's cost; 'quad'/'pre4' are "
                          "the g=4 variants")
-    ap.add_argument("--in-dtype", default=None, choices=["f32", "i16"],
+    ap.add_argument("--in-dtype", default=None,
+                    choices=["f32", "i16", "wire"],
                     help="staged input dtype; default i16 for the pallas "
                          "method (the wire-native compact feed, halves "
-                         "HBM input reads), f32 otherwise")
+                         "HBM input reads), f32 otherwise.  'wire' stages "
+                         "RAW reference wire bytes (interleaved BE int16) "
+                         "and decodes ON-CHIP inside the timed span "
+                         "(ops/device_codec) — measures the chip-side cost "
+                         "of replacing ~25 host decode cores (DESIGN.md "
+                         "section 6 consolidation balance)")
     ap.add_argument("--sharded", type=int, default=0, metavar="N",
                     help="run the flagship kernel under shard_map over an "
                          "N-device mesh (batch data-parallel; the salted "
@@ -134,7 +140,10 @@ def main():
     c, m, n = cfg.sector_shape
     if args.in_dtype is None:
         args.in_dtype = "i16" if args.method == "pallas" else "f32"
-    in_dtype = np.int16 if args.in_dtype == "i16" else np.float32
+    if args.in_dtype == "wire" and args.method != "pallas":
+        sys.exit("--in-dtype wire applies to the pallas method only")
+    host_wire = None     # set below for --in-dtype wire (raw wire staging)
+    in_dtype = np.float32 if args.in_dtype == "f32" else np.int16
     # Planar IQ [D, B, C, 2, m, n] — D distinct device-staged batches so
     # every scanned step reads fresh data (no loop-invariant computation
     # for XLA to hoist, no perturbation artifact).  int16 is the
@@ -221,6 +230,23 @@ def main():
                          "sharded path does not build; use --xpair "
                          "concat/quad under --sharded")
 
+            if args.in_dtype == "wire":
+                if args.sharded:
+                    sys.exit("--in-dtype wire does not support --sharded")
+                if pre_pair:
+                    sys.exit("--in-dtype wire emits the flat planar "
+                             "layout on-chip; use --xpair concat/quad")
+                # encode the SAME samples into the reference wire layout
+                # (interleaved BE int16, natural row order — the on-chip
+                # decode applies the radix reorder), BEFORE the host-side
+                # radix permute below rearranges host_iq
+                host_wire = (host_iq.reshape(
+                    args.distinct * args.batch, c, 2, m, n)
+                    .transpose(0, 3, 4, 1, 2)
+                    .astype(">i2", order="C")    # order-K would keep the
+                    .view(np.uint8)              # transposed strides and
+                    .reshape(args.distinct * args.batch, -1))  # break view
+
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
             # staging pre-permuted input matches the real ingest path.
@@ -237,9 +263,13 @@ def main():
                 # --xpair pre/pre4 stages the lane-grouped layout
                 # directly (same bytes; a grouping decoder emits it for
                 # free).
-                host_stage = (FC.pair_lanes(host_iq.reshape(
-                    args.distinct * bcn, 2, m, n), g=g_pair)
-                    if pre_pair else host_iq)
+                if host_wire is not None:
+                    host_stage = host_wire      # raw bytes, decode on-chip
+                elif pre_pair:
+                    host_stage = FC.pair_lanes(host_iq.reshape(
+                        args.distinct * bcn, 2, m, n), g=g_pair)
+                else:
+                    host_stage = host_iq
                 dev_iq = jax.block_until_ready(
                     jax.device_put(host_stage, dev))
             proc = SectorProcessor(cfg, method="pallas", device=dev,
@@ -258,6 +288,9 @@ def main():
                     kcat2=kcat2, clip=args.clip, xsplit=args.xsplit,
                     pair=pair_arg)
         else:
+            if args.in_dtype == "wire":
+                sys.exit("--in-dtype wire needs the radix kernel; "
+                         f"geometry m={m} uses the direct kernel")
             if args.xpair or args.xsplit or args.a_layout:
                 # the direct fallback kernel (non-radix geometries) has
                 # none of these knobs; recording them in the JSON would
@@ -291,6 +324,32 @@ def main():
 
             return lax.fori_loop(0, steps, one_step,
                                  jnp.zeros(cfg.num_output_bins))
+
+        if host_wire is not None:
+            # on-chip decode inside the timed span: each step slices its
+            # batch of RAW wire bytes, decodes (byteswap + deinterleave +
+            # radix reorder, ops/device_codec) and runs the kernel — the
+            # whole per-sector device cost of a host that ships wire
+            # bytes instead of spending ~25 cores on SIMD decode
+            from wrp_tpu.ops.device_codec import decode_wire_i16
+
+            @jax.jit
+            def timed_passes(wire_all):
+                def one_step(i, carry):
+                    offb = (i % args.distinct) * args.batch
+                    w = lax.dynamic_slice_in_dim(wire_all, offb,
+                                                 args.batch, 0)
+                    x = decode_wire_i16(w, cfg, radix=radix).reshape(
+                        bcn, 2, m, n)
+                    pw = power_at(x, jnp.int32(0), i).reshape(
+                        args.batch, c, -1)
+                    zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1],
+                                                   gain_d)
+                    return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                        jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
+
+                return lax.fori_loop(0, steps, one_step,
+                                     jnp.zeros(cfg.num_output_bins))
 
         if args.sharded:
             # The flagship kernel under shard_map, COMPILED (VERDICT r2
@@ -417,14 +476,28 @@ def main():
         err1 = max(sharded_parity["mxu"], sharded_parity["halo"])
         thr0, thr1 = 1e-4, 1e-3
     elif args.method == "pallas":
-        x_flat = (dev_iq if dev_iq.ndim == 4
-                  else dev_iq.reshape(args.distinct * bcn, 2, m, n))
+        # host_iq is radix-permuted by now, matching proc's layout; in
+        # wire mode the harness instead decodes slab 0 of the staged raw
+        # bytes ON-CHIP (same samples, natural order + on-chip reorder)
         zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
+        if host_wire is not None:
+            from wrp_tpu.ops.device_codec import decode_wire_i16
 
-        def _harness_zdb(salt):
-            pw = power_at(x_flat, 0, salt).reshape(args.batch, c, -1)
-            return np.asarray(
-                stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
+            def _harness_zdb(salt):
+                x = decode_wire_i16(dev_iq[:args.batch], cfg,
+                                    radix=radix).reshape(bcn, 2, m, n)
+                pw = power_at(x, jnp.int32(0), salt).reshape(
+                    args.batch, c, -1)
+                return np.asarray(
+                    stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
+        else:
+            x_flat = (dev_iq if dev_iq.ndim == 4
+                      else dev_iq.reshape(args.distinct * bcn, 2, m, n))
+
+            def _harness_zdb(salt):
+                pw = power_at(x_flat, 0, salt).reshape(args.batch, c, -1)
+                return np.asarray(
+                    stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
 
         err0 = _rel(zdb_ref, _harness_zdb(0))
         err1 = _rel(zdb_ref, _harness_zdb(7))

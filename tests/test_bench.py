@@ -53,6 +53,17 @@ def test_bench_smoke_salted_xla_method():
     assert r["parity_rel_l2"][1] < 1e-3
 
 
+def test_bench_smoke_wire_staging_decodes_on_chip():
+    """--in-dtype wire stages RAW reference wire bytes and decodes them
+    inside the timed span (ops/device_codec); the parity gate proves the
+    on-chip decode + kernel reproduces the host-decoded processor."""
+    r = _run_bench("--in-dtype", "wire")
+    assert r["in_dtype"] == "wire"
+    e0, e1 = r["parity_rel_l2"]
+    assert e0 < 1e-4 and e1 < 1e-3
+    assert r["value"] > 0
+
+
 def test_ab_sweep_smoke_contract():
     """tools/ab_sweep.py (the one-staging variant sweep) must keep its
     per-variant JSON contract and parity gates alive; a 3-variant subset

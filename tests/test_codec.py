@@ -227,3 +227,33 @@ def test_wire_parsers_fuzz_clean_failures():
     # the downstream consumer rejects any wrong-length values array
     sector, elev, values = frames.unpack_result_udp(full[:10])
     assert len(values) == 1 != 4
+
+
+def test_device_decode_matches_host_decoder_exactly():
+    """ops/device_codec.decode_wire_i16 (chip-side decode) must be
+    bit-identical to the host decoder for every layout it replaces:
+    natural order, radix order, batched, int16 extremes included."""
+    import jax
+    from wrp_tpu.ops.device_codec import decode_wire_i16
+
+    cfg = tiny_config(m=16, n=8)
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-32768, 32768,
+                        (4, cfg.num_range_cells, cfg.num_pulses,
+                         cfg.num_channels, 2), dtype=np.int64)
+    vals[0, 0, 0, 0, 0] = -32768            # extremes survive the
+    vals[0, 0, 0, 0, 1] = 32767             # int32 sign reconstruction
+    wires = [v.astype(">i2").tobytes() for v in vals]
+    wire_u8 = np.stack([np.frombuffer(w, np.uint8) for w in wires])
+
+    for radix in (1, 8):
+        host = np.stack([codec.decode_iq_i16(w, cfg, radix=radix)
+                         for w in wires])
+        dev = np.asarray(jax.jit(
+            lambda x, r=radix: decode_wire_i16(x, cfg, radix=r))(wire_u8))
+        assert dev.dtype == np.int16
+        np.testing.assert_array_equal(dev, host)
+    # unbatched (no leading axis) decode too
+    one = np.asarray(decode_wire_i16(wire_u8[0], cfg, radix=8))
+    np.testing.assert_array_equal(one, codec.decode_iq_i16(wires[0], cfg,
+                                                           radix=8))

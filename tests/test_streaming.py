@@ -398,6 +398,49 @@ def test_full_udp_streaming_pipeline_pallas(cfg):
     producer.close()
 
 
+def test_full_udp_streaming_pipeline_device_decode(cfg):
+    """device_decode: ingest threads ship RAW wire bytes and the
+    byteswap/deinterleave/radix-reorder runs on-chip inside the
+    processor's jit (ops/device_codec) — products must still match the
+    fp64 oracle exactly like the host-decoded pallas path."""
+    n_sectors = 4
+    sectors = _wire_sectors(cfg, n_sectors, seed=13)
+    ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
+    got = {}
+
+    ex = StreamingExecutor(
+        cfg, transport=ingest, method="pallas", batch=2,
+        max_sectors=n_sectors, device_decode=True,
+        publish=lambda sector, elevation, zdb, zdr: got.__setitem__(
+            sector, (zdb.copy(), zdr.copy())),
+    )
+    runner = threading.Thread(target=ex.run, daemon=True)
+    runner.start()
+    producer = UdpProducer(cfg, port=ingest.local_port)
+    for iq, wire in sectors:
+        producer.send_sector(wire)
+    runner.join(timeout=30)
+    assert len(got) == n_sectors
+
+    for k, (iq, _) in enumerate(sectors):
+        zdb64, zdr64 = oracle.process_sector(iq, cfg)
+        assert oracle.relative_l2(zdb64, got[k][0]) < 1e-4
+        assert oracle.relative_l2(zdr64, got[k][1]) < 1e-4
+    ingest.close()
+    producer.close()
+
+
+def test_device_decode_validation():
+    """device_decode requires the pallas method (the i16 radix consumer);
+    anything else must refuse loudly."""
+    import pytest as _pytest
+
+    cfg = tiny_config(m=32, n=16)
+    with _pytest.raises(ValueError, match="device_decode"):
+        StreamingExecutor(cfg, transport=None, method="mxu",
+                          device_decode=True)
+
+
 def test_udp_extended_results_reconstruct_multi_elevation_volume(cfg):
     """VERDICT r2 item 4: with extended ingest headers AND extended (v1x)
     result frames, a UDP consumer reconstructs the multi-elevation volume

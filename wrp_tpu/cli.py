@@ -318,9 +318,16 @@ def cmd_stream(args):
             ]
         else:
             volume = _open_volume(cfg, args.checkpoint)
+    if args.device_decode and (args.method != "pallas"
+                               or args.coordinator):
+        print("--device-decode requires --method pallas (and is not "
+              "available with the lock-step --coordinator processor)",
+              file=sys.stderr)
+        return 2
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,
+        device_decode=args.device_decode,
         max_sectors=args.max_sectors, idle_limit=args.idle_limit,
         processor=processor, lockstep=args.coordinator is not None,
         checkpoint_every_s=(None if args.checkpoint_every < 0
@@ -797,6 +804,11 @@ def main(argv=None):
                         "volumes; default stays v1 wire-compatible)")
     p.add_argument("--debug-sync", action="store_true",
                    help="validate numerics every batch (rpv2 gpuErrchk mode)")
+    p.add_argument("--device-decode", action="store_true",
+                   help="pallas method: ship RAW wire bytes and decode "
+                        "on-chip (ops/device_codec) — frees ~all host "
+                        "decode cores at some device-time cost (DESIGN.md "
+                        "section 6)")
     p.add_argument("--max-sectors", type=int, default=None)
     p.add_argument("--idle-limit", type=int, default=None,
                    help="exit after N consecutive idle recv timeouts")

@@ -446,6 +446,7 @@ class SectorProcessor:
         device=None,
         precision: str | None = None,
         layout: str = "natural",
+        wire_input: bool = False,
     ):
         """layout="radix" (pallas only): input range rows arrive already in
         radix-DIT order (io/codec.decode_iq_i16(radix=proc.input_radix)),
@@ -476,7 +477,11 @@ class SectorProcessor:
                 "method='radix' implements 'direct' and 'fold' matched "
                 "filters; use method='mxu' or 'fft' for the spectral "
                 "parity path")
+        if wire_input and method != "pallas":
+            raise ValueError("wire_input (on-device decode of raw wire "
+                             "bytes) requires method='pallas'")
         self.cfg = cfg
+        self.wire_input = wire_input
         self.input_radix = 1
         if method == "pallas":
             from .ops.pallas.fullchain import radix_for
@@ -484,7 +489,8 @@ class SectorProcessor:
             if layout == "radix":
                 self.input_radix = radix_for(cfg.num_range_cells)
             self._pallas_fn = self._build_pallas_fn(
-                cfg, device, pre_permuted=layout == "radix")
+                cfg, device, pre_permuted=layout == "radix",
+                wire_input=wire_input)
         elif layout != "natural":
             raise ValueError("layout='radix' requires method='pallas'")
         if method == "radix":
@@ -522,10 +528,13 @@ class SectorProcessor:
         )
 
     def _build_pallas_fn(self, cfg: RadarConfig, device,
-                         pre_permuted: bool = False):
+                         pre_permuted: bool = False,
+                         wire_input: bool = False):
         """Fused single-kernel chain (ops/pallas/fullchain.py): Gauss
         complex matmul + Parseval epilogue, all VMEM-resident.  Falls back
-        to interpret mode off-TPU (tests)."""
+        to interpret mode off-TPU (tests).  wire_input=True prepends the
+        on-device wire decode (ops/device_codec) inside the same jit: the
+        caller feeds RAW reference wire bytes [B, nbytes] uint8."""
         from .ops.pallas.fullchain import build_pallas_processor, use_interpret
 
         consts = PipelineConstants.build(cfg)
@@ -533,6 +542,19 @@ class SectorProcessor:
         power_fn = build_pallas_processor(consts, interpret=interpret,
                                           pre_permuted=pre_permuted)
         gain = jnp.asarray(consts.gain)
+        input_radix = self.input_radix
+
+        if wire_input:
+            from .ops.device_codec import decode_wire_i16
+
+            @jax.jit
+            def fn(wire_u8):
+                iq_planar = decode_wire_i16(wire_u8, cfg, radix=input_radix)
+                pow_all = power_fn(iq_planar)
+                return stage09_10_products(pow_all[..., 0, :],
+                                           pow_all[..., 1, :], gain)
+
+            return fn
 
         @jax.jit
         def fn(iq_planar):
@@ -568,6 +590,17 @@ class SectorProcessor:
         return fn
 
     def __call__(self, iq: Array) -> Tuple[Array, Array]:
+        if self.wire_input:
+            nb = self.cfg.sector_nbytes_wire
+            if np.iscomplexobj(iq) or iq.dtype != np.uint8 \
+                    or iq.shape[-1] != nb:
+                raise ValueError(
+                    f"wire_input processor expects uint8 [..., {nb}] raw "
+                    f"wire bytes; got {iq.dtype} {tuple(iq.shape)}")
+            if iq.ndim == 1:
+                zdb, zdr = self._pallas_fn(iq[None])
+                return zdb[0], zdr[0]
+            return self._pallas_fn(iq)
         if np.iscomplexobj(iq):
             iq = to_planar(np.asarray(iq) if isinstance(iq, np.ndarray) else iq)
             if self.input_radix > 1:

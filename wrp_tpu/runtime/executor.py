@@ -144,6 +144,7 @@ class StreamingExecutor:
         max_sectors: Optional[int] = None,
         idle_limit: Optional[int] = None,
         processor: Optional[Callable] = None,
+        device_decode: bool = False,
         lockstep: bool = False,
         checkpoint_every_s: Optional[float] = 30.0,
         stall_warning_s: Optional[float] = 10.0,
@@ -156,6 +157,11 @@ class StreamingExecutor:
         processor: override the compiled batch step (e.g.
         parallel.multihost.MultiHostProcessor.step_local for lock-step
         multi-host streaming); default builds a local SectorProcessor.
+
+        device_decode (pallas only): ingest threads ship RAW wire bytes
+        and the byteswap/deinterleave/radix-reorder runs on-chip inside
+        the processor's jit (ops/device_codec) — trades device time for
+        ~all the host decode cores (DESIGN.md §6 consolidation balance).
 
         lockstep: wait for FULL batches (except at end-of-stream) so every
         host in a multi-host mesh issues the same number of collective
@@ -233,6 +239,10 @@ class StreamingExecutor:
         self.timers = StageTimers()
         self.throughput = Throughput()
         self.latency = LatencyStats()
+        if device_decode and (processor is not None or method != "pallas"):
+            raise ValueError("device_decode (on-chip wire decode) requires "
+                             "method='pallas' without a processor override")
+        self._device_decode = device_decode
         if processor is not None:
             self.processor = processor
             self._decode_radix = 0          # external step: natural f32
@@ -240,9 +250,14 @@ class StreamingExecutor:
             self._device = None
         elif method == "pallas":
             # fused-kernel fast path: compact int16 feed, rows decoded
-            # straight into radix-DIT order (no on-device permutation)
+            # straight into radix-DIT order (no on-device permutation);
+            # with device_decode the host ships RAW wire bytes and the
+            # byteswap/deinterleave/reorder runs on-chip instead
+            # (ops/device_codec — frees ~all host decode cores,
+            # DESIGN.md §6)
             self.processor = SectorProcessor(cfg, method=method,
-                                             layout="radix")
+                                             layout="radix",
+                                             wire_input=device_decode)
             self._decode_radix = self.processor.input_radix
             self._do_device_put = True
             self._device = self.processor.device
@@ -319,7 +334,12 @@ class StreamingExecutor:
                 else:
                     sector, elevation = self._pos[feed]
                 with self.timers.time("ingest/decode"):
-                    if self._decode_radix:
+                    if self._device_decode:
+                        # ship raw bytes; decode runs on-chip inside the
+                        # processor's jit (transports hand over a fresh
+                        # buffer per sector, so the view is safe)
+                        planar = np.frombuffer(wire, np.uint8)
+                    elif self._decode_radix:
                         planar = codec.decode_iq_i16(
                             wire, self.cfg, radix=self._decode_radix)
                     else:
@@ -635,8 +655,12 @@ class StreamingExecutor:
         cuFFT plans up front, rpv2.cu:312-341; a first-batch compile stall
         here would overflow the UDP receive buffer and drop sectors)."""
         c, m, n = self.cfg.sector_shape
-        dtype = np.int16 if self._decode_radix else np.float32
-        zeros = np.zeros((self.batch, c, 2, m, n), dtype)
+        if self._device_decode:
+            zeros = np.zeros((self.batch, self.cfg.sector_nbytes_wire),
+                             np.uint8)
+        else:
+            dtype = np.int16 if self._decode_radix else np.float32
+            zeros = np.zeros((self.batch, c, 2, m, n), dtype)
         np.asarray(self.processor(zeros)[0])
 
     def run(self) -> dict:
