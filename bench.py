@@ -236,6 +236,15 @@ def main():
                 if pre_pair:
                     sys.exit("--in-dtype wire emits the flat planar "
                              "layout on-chip; use --xpair concat/quad")
+                if args.distinct < 2:
+                    # the kernel is salted per step, but the DECODE's
+                    # only per-step variation is the slab offset: with
+                    # one slab it is loop-invariant and XLA may hoist it
+                    # out of the timed span — the exact cost this mode
+                    # exists to measure (DESIGN.md §4 methodology)
+                    sys.exit("--in-dtype wire needs --distinct >= 2 (a "
+                             "single staged slab makes the on-chip "
+                             "decode loop-invariant and hoistable)")
                 # encode the SAME samples into the reference wire layout
                 # (interleaved BE int16, natural row order — the on-chip
                 # decode applies the radix reorder), BEFORE the host-side
@@ -532,9 +541,20 @@ def main():
     assert np.isfinite(acc[1:]).all(), "non-finite zdb accumulator"
 
     # --- streaming including fresh H2D (tunnel-dependent, secondary) ---
-    fetch(proc(jax.device_put(host_iq[0], dev)))   # compile outside the span
+    if host_wire is not None:
+        # in wire mode this metric must go through the WIRE path (raw
+        # bytes + on-chip decode), not the host-decoded planar processor
+        # — otherwise the row labeled in_dtype=wire reports a streaming
+        # rate that excludes the decode cost the mode exists to measure
+        proc_stream = SectorProcessor(cfg, method="pallas", device=dev,
+                                      layout="radix", wire_input=True)
+        stage0 = host_wire[:args.batch]
+    else:
+        proc_stream = proc
+        stage0 = host_iq[0]
+    fetch(proc_stream(jax.device_put(stage0, dev)))  # compile outside span
     t0 = time.perf_counter()
-    out = fetch(proc(jax.device_put(host_iq[0], dev)))
+    out = fetch(proc_stream(jax.device_put(stage0, dev)))
     elapsed_h2d = time.perf_counter() - t0
     sectors_s_h2d = args.batch / elapsed_h2d
 

@@ -253,6 +253,16 @@ def cmd_stream(args):
             # discards the other feed's sectors
             print("duplicate --feed-checkpoint paths", file=sys.stderr)
             return 2
+    if args.device_decode and (args.method != "pallas"
+                               or args.coordinator):
+        # refuse BEFORE binding sockets / joining the distributed mesh:
+        # a post-setup refusal leaves peers blocked in the coordinator
+        # handshake against hosts that already exited
+        print("--device-decode requires --method pallas (and is not "
+              "available with the lock-step --coordinator processor)",
+              file=sys.stderr)
+        return 2
+
     def make_ingest(ingest_cls):
         # multi-feed consolidation: one ingest per --feed-port, one
         # SHARED egress (result frames carry only sector/elevation, so a
@@ -318,12 +328,6 @@ def cmd_stream(args):
             ]
         else:
             volume = _open_volume(cfg, args.checkpoint)
-    if args.device_decode and (args.method != "pallas"
-                               or args.coordinator):
-        print("--device-decode requires --method pallas (and is not "
-              "available with the lock-step --coordinator processor)",
-              file=sys.stderr)
-        return 2
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,

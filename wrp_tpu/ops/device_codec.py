@@ -23,18 +23,11 @@ pinned to exact int16 equality in tests/test_codec.py.
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
 from ..config import RadarConfig, DEFAULT_CONFIG
-
-
-def radix_row_order_np(m: int, radix: int) -> np.ndarray:
-    """Row permutation of the radix-ordered device feed (matches
-    io/codec.decode_iq_i16's host-side reorder)."""
-    return np.concatenate([np.arange(p, m, radix) for p in range(radix)])
+from .pallas.fullchain import radix_row_order
 
 
 def decode_wire_i16(wire_u8: jax.Array,
@@ -63,6 +56,9 @@ def decode_wire_i16(wire_u8: jax.Array,
     perm = tuple(range(nd - 4)) + (nd - 2, nd - 1, nd - 4, nd - 3)
     planar = jnp.transpose(v, perm)
     if radix > 1:
-        order = radix_row_order_np(m, radix)
+        # the ONE canonical permutation (shared with the kernel plan and,
+        # by parity test, the host decoder) — a drifting copy here would
+        # break the bit-parity contract silently
+        order = radix_row_order(m, radix)
         planar = jnp.take(planar, jnp.asarray(order), axis=nd - 2)
     return planar.astype(jnp.int16)
