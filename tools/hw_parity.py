@@ -74,6 +74,33 @@ def main():
             "pass": passed,
         }))
 
+    # On-chip wire decode (round 3): the wire_input path — raw BE int16
+    # bytes decoded on the DEVICE inside the processor's jit
+    # (ops/device_codec) — must match the oracle like the host-decoded
+    # pallas path; interpret-mode tests pin the decode bit-exactly, this
+    # pins the Mosaic-compiled int ops + transpose on real hardware.
+    from wrp_tpu.io import codec
+
+    wire_u8 = np.stack([
+        np.frombuffer(codec.encode_iq(iq[k], cfg), np.uint8)
+        for k in range(args.batch)])
+    proc_w = SectorProcessor(cfg, method="pallas", device=dev,
+                             layout="radix", wire_input=True)
+    zdb_w, zdr_w = proc_w(jax.device_put(wire_u8, dev))
+    zdb_w, zdr_w = np.asarray(zdb_w), np.asarray(zdr_w)
+    ez = max(oracle.relative_l2(truth[k][0], zdb_w[k])
+             for k in range(args.batch))
+    er = max(oracle.relative_l2(truth[k][1], zdr_w[k])
+             for k in range(args.batch))
+    passed = ez < THRESHOLDS["zdb"] and er < THRESHOLDS["zdr"]
+    ok &= passed
+    print(json.dumps({
+        "method": "pallas/wire-decode", "device": str(dev),
+        "zdb_rel_l2": float(f"{ez:.3e}"),
+        "zdr_rel_l2": float(f"{er:.3e}"),
+        "pass": passed,
+    }))
+
     # Adversarial clip-bin case (round 3): Doppler energy concentrated
     # in the CLIPPED bins (pre-shift k = n/2-2) makes the Parseval
     # subtraction n*sum|q|^2 - |clip|^2 catastrophically cancel, which
