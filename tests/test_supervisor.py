@@ -732,3 +732,23 @@ def test_supervise_regroup_completes(tmp_path):
                         os.kill(w["pid"], signal.SIGKILL)
                     except (OSError, ProcessLookupError):
                         pass
+
+
+def test_supervise_device_decode_passthrough(tmp_path, capsys):
+    """--device-decode forwards to worker argv (pallas only; a non-pallas
+    request is refused up front rather than via every worker dying rc-2
+    at warmup, which would look like infra flake)."""
+    from wrp_tpu import cli
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    rc = cli.main(["supervise", "--feed-port", "9000",
+                   "--device-decode",        # default method is mxu
+                   "--checkpoint-dir", str(tmp_path / "a")])
+    assert rc == 2
+    assert "--method pallas" in capsys.readouterr().err
+
+    sup = Supervisor([FeedSpec(port=9000, checkpoint=tmp_path / "f.npz")],
+                     hosts=1, method="pallas",
+                     extra_args=["--device-decode"])
+    argv = sup._worker_argv(0, 1, sup.feeds, tmp_path / "r", None)
+    assert "--device-decode" in argv and "pallas" in argv

@@ -403,6 +403,11 @@ def cmd_supervise(args):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)
+    if args.device_decode and args.method != "pallas":
+        # refuse here, not via every worker dying rc-2 at warmup (which
+        # the supervisor would retry as infra flake until max_generations)
+        print("--device-decode requires --method pallas", file=sys.stderr)
+        return 2
     ckdir = Path(args.checkpoint_dir)
     ckdir.mkdir(parents=True, exist_ok=True)
     if args.transport == "zmq":
@@ -453,7 +458,9 @@ def cmd_supervise(args):
             ready_timeout_s=args.ready_timeout,
             state_file=args.state_file,
             log_dir=ckdir / "logs",   # postmortems of host deaths
-            extra_args=["--log-level", args.log_level],
+            extra_args=(["--log-level", args.log_level]
+                        + (["--device-decode"] if args.device_decode
+                           else [])),
         )
     except ValueError as e:          # usage errors, same contract as
         print(e, file=sys.stderr)    # the other subcommands
@@ -865,6 +872,9 @@ def main(argv=None):
                         "holds N sectors")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--timeout", type=float, default=5.0)
+    p.add_argument("--device-decode", action="store_true",
+                   help="workers decode wire bytes on-chip (requires "
+                        "--method pallas; see stream --device-decode)")
     p.add_argument("--collective-timeout", type=float, default=30.0)
     p.add_argument("--ready-timeout", type=float, default=300.0,
                    metavar="S",
