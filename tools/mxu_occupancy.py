@@ -100,7 +100,10 @@ def main():
             for d in range(ndots):
                 y = dot(a_ref[d], x_ref[...])
                 acc = y if acc is None else acc + y
-            out_ref[0, :] = jnp.sum(acc, axis=1)
+            # Whole-array output block (Mosaic needs the trailing dims
+            # of a PARTIAL block 8/128-aligned; a (1, m) row block is
+            # neither).  Each grid step writes its own row.
+            out_ref[pl.program_id(0), :] = jnp.sum(acc, axis=1)
 
         @jax.jit
         def timed():
@@ -115,7 +118,7 @@ def main():
                                             * wblocks),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, m), lambda b: (b, 0),
+                out_specs=pl.BlockSpec((args.steps, m), lambda b: (0, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((args.steps, m),
                                                jnp.float32),
