@@ -47,22 +47,29 @@ def decode_wire_i16(wire_u8: jax.Array,
         raise ValueError(
             f"expected uint8 [..., {nbytes}] wire bytes; got "
             f"{wire_u8.dtype} {wire_u8.shape}")
-    # [..., m, n, ch, 2(IQ), 2(BE bytes)] -> int32 big-endian compose
-    b = wire_u8.reshape(*lead, m, n, ch, 2, 2).astype(jnp.int32)
-    v = b[..., 0] * 256 + b[..., 1]              # 0..65535
-    v = jnp.where(v >= 32768, v - 65536, v)      # sign per int16
-    # cast BEFORE the deinterleave transpose: the transpose is the
-    # decode's only real data movement, so moving i16 instead of i32
-    # halves its HBM traffic (the compose arithmetic fuses either way)
-    v = v.astype(jnp.int16)
-    # [..., m, n, ch, 2] -> [..., ch, 2, m, n]
-    nd = v.ndim
-    perm = tuple(range(nd - 4)) + (nd - 2, nd - 1, nd - 4, nd - 3)
-    planar = jnp.transpose(v, perm)
+    # Formulation chosen by an on-chip A/B of six variants
+    # (tools/decode_ab.py, DECODE_AB_r03.json): per-plane strided BYTE
+    # slices with the int16 compose fused into each slice, 3.4x the
+    # transpose formulation it replaces (158 vs 536 us/sector).  A
+    # [m, n, ch, 2] -> [ch, 2, m, n] transpose moves 6-element minor
+    # tiles and ran at ~23 GB/s; six fused slice+compose passes that
+    # each read only their own bytes run at ~316 GB/s actual traffic.
+    rows = wire_u8.reshape(*lead, m, n * cfg.bytes_per_sample)
     if radix > 1:
         # the ONE canonical permutation (shared with the kernel plan and,
         # by parity test, the host decoder) — a drifting copy here would
-        # break the bit-parity contract silently
+        # break the bit-parity contract silently.  Applied to the RAW
+        # byte rows (contiguous 6 KB row gather — bandwidth-friendly)
+        # so the downstream slice passes read already-ordered rows
+        # (itself a measured 1.5x over a post-transpose take).
         order = radix_row_order(m, radix)
-        planar = jnp.take(planar, jnp.asarray(order), axis=nd - 2)
-    return planar
+        rows = jnp.take(rows, jnp.asarray(order), axis=len(lead))
+    b = rows.reshape(*lead, m, n, ch * 2, 2)
+    planes = []
+    for k in range(ch * 2):
+        v = b[..., k, 0].astype(jnp.int32) * 256 \
+            + b[..., k, 1].astype(jnp.int32)     # 0..65535 big-endian
+        v = jnp.where(v >= 32768, v - 65536, v)  # sign per int16
+        planes.append(v.astype(jnp.int16))
+    planar = jnp.stack(planes, axis=len(lead))   # [..., ch*2, m, n]
+    return planar.reshape(*lead, ch, 2, m, n)
