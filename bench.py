@@ -24,6 +24,41 @@ import time
 BASELINE_3CH = 36.1   # prof/g7.prof, GeForce 930M
 BASELINE_2CH = 73.5   # prof/nocin-sep.prof
 
+# Session calibration (VERDICT r3 item 2): the dev tunnel's delivered
+# rate varies by session (round 3 measured the identical configuration
+# 18% apart across two windows: BENCH_r03 29 549 vs BENCH_SWEEP_r03
+# 35 893).  Every bench run therefore measures a fixed plain-XLA bf16
+# matmul probe first and emits `calib_tflops`; `value_normalized`
+# rescales the headline to the record session's calibration so a
+# driver-day regression is distinguishable from tunnel weather without
+# reading prose.  RECORD_CALIB_TFLOPS is the probe's reading in the
+# session that produced the number of record (BENCH_r04.json).
+RECORD_CALIB_TFLOPS = 62.8   # 2026-08-18 r04 session, probe below
+
+
+def calibration_probe(jnp, lax, jax, np):
+    """Fixed yardstick: 16-step chain of salted 4096-cube bf16 matmuls
+    (the same scale as round 3's ad hoc probe, DESIGN.md section 3).
+    Serial by construction (each step consumes the previous), so no
+    step can be elided; returns delivered TFLOP/s, best of 3."""
+    N, STEPS = 4096, 16
+    x = jnp.ones((N, N), jnp.bfloat16)
+
+    @jax.jit
+    def probe(a):
+        def body(i, c):
+            return (c + i.astype(jnp.bfloat16) * 1e-6) @ a
+
+        return lax.fori_loop(0, STEPS, body, a)[0, 0]
+
+    np.asarray(probe(x))          # compile + warm (persistent-cached)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(probe(x))
+        runs.append(time.perf_counter() - t0)
+    return 2 * N**3 * STEPS / min(runs) / 1e12
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -133,6 +168,19 @@ def main():
     dev = jax.devices()[0]
     log = (lambda *a: print(*a, file=sys.stderr)) if args.verbose else (lambda *a: None)
     log(f"device: {dev}, batch {args.batch}, method {args.method}")
+
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    calib_tflops = None
+    if not args.smoke and dev.platform != "cpu":
+        # session yardstick BEFORE the multi-GB staging (a probe run
+        # after staging would contend with nothing, but keeping it first
+        # means an aborted staging still leaves the calibration on
+        # record in stderr)
+        calib_tflops = calibration_probe(_jnp, _lax, jax, np)
+        log(f"session calibration: {calib_tflops:.1f} TFLOP/s "
+            f"(record {RECORD_CALIB_TFLOPS})")
 
     proc = None  # built once below, after the input layout is decided
 
@@ -558,6 +606,33 @@ def main():
     elapsed_h2d = time.perf_counter() - t0
     sectors_s_h2d = args.batch / elapsed_h2d
 
+    # Overlapped variant (VERDICT r3 item 8): the production-relevant
+    # form.  The executor never stages a whole slab then computes — it
+    # enqueues slab k+1's H2D while slab k computes (two-deep pipeline,
+    # runtime/executor.py); this loop mirrors that: async device_put of
+    # the next slab between dispatch and fetch, slab k-1's D2H fetched
+    # last.  On the dev tunnel both forms are link-bound; on a PCIe
+    # host the pipelined number is the achievable streaming rate.
+    if host_wire is not None:
+        slabs = [host_wire[k * args.batch:(k + 1) * args.batch]
+                 for k in range(args.distinct)]
+    else:
+        slabs = list(host_iq)
+    npipe = max(4, 2 * len(slabs))
+    d_cur = jax.device_put(slabs[0], dev)   # slab 0 staged outside the
+    prev = None                             # span, as in steady state
+    t0 = time.perf_counter()
+    for k in range(npipe):
+        out_k = proc_stream(d_cur)          # async dispatch
+        if k + 1 < npipe:
+            d_cur = jax.device_put(slabs[(k + 1) % len(slabs)], dev)
+        if prev is not None:
+            fetch(prev)                     # D2H of batch k-1
+        prev = out_k
+    fetch(prev)
+    elapsed_pipe = time.perf_counter() - t0
+    sectors_s_h2d_pipe = npipe * args.batch / elapsed_pipe
+
     result = {
         "metric": f"sectors_per_second_{cfg.num_channels}ch",
         "value": round(sectors_s, 2),
@@ -567,8 +642,17 @@ def main():
         "samples_per_second": round(
             sectors_s * cfg.num_channels * cfg.m * cfg.n, 0),
         "sectors_per_second_with_h2d": round(sectors_s_h2d, 2),
+        "sectors_per_second_with_h2d_pipelined": round(
+            sectors_s_h2d_pipe, 2),
         "ms_per_sector": round(1e3 / sectors_s, 4),
         "h2d_gbps": round(h2d_gbps, 2),
+        "calib_tflops": (round(calib_tflops, 1)
+                         if calib_tflops is not None else None),
+        "calib_record_tflops": (RECORD_CALIB_TFLOPS
+                                if calib_tflops is not None else None),
+        "value_normalized": (round(
+            sectors_s * RECORD_CALIB_TFLOPS / calib_tflops, 2)
+            if calib_tflops is not None else None),
         "compile_s": round(t_compile, 1),
         "timed_runs_s": [round(r, 3) for r in runs],
         "batch": args.batch,

@@ -31,6 +31,13 @@ def test_bench_smoke_json_contract():
     # failure); its measurements ride in the result
     e0, e1 = r["parity_rel_l2"]
     assert e0 < 1e-4 and e1 < 1e-3
+    # the pipelined with-H2D metric (the production streaming form,
+    # VERDICT r3 item 8) must ride in every result
+    assert r["sectors_per_second_with_h2d_pipelined"] > 0
+    # session calibration fields exist (null on CPU smoke: the probe
+    # is a TPU yardstick, VERDICT r3 item 2)
+    assert "calib_tflops" in r and "value_normalized" in r
+    assert r["calib_tflops"] is None and r["value_normalized"] is None
 
 
 def test_bench_smoke_sharded_runs_under_mesh():
@@ -90,3 +97,25 @@ def test_ab_sweep_smoke_contract():
     assert lines[2]["variant"] == "quad_pre_int"
     assert lines[2]["xsplit"] == "int" and lines[2]["xpair"] == "pre4"
     assert lines[3]["best"] in ("kcat", "pair_pre_int", "quad_pre_int")
+
+
+def test_decode_ab_smoke_contract():
+    """tools/decode_ab.py (the on-chip wire-decode A/B behind
+    DECODE_AB_r04.json) must keep all seven variants parity-pinned to
+    the host decoder and its JSON contract alive — it was the one
+    measurement tool without a contract test (VERDICT r3 item 1)."""
+    from conftest import cpu_subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, "tools/decode_ab.py", "--smoke"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env=cpu_subprocess_env())
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    names = ["v0_current", "v1_take_rows", "v2_slices", "v3_flat",
+             "v4_i32", "v5_byteslice", "v6_bitcast_slice"]
+    for v in names:
+        # parity failures and compile errors land as {"error": ...};
+        # a healthy variant reports its timing fields
+        assert "error" not in r[v], (v, r[v])
+        assert r[v]["us_per_sector"] > 0, (v, r[v])

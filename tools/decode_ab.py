@@ -10,17 +10,23 @@ two separate sub-bandwidth passes.  This probe times decode
 formulations alone, batched, identical outputs pinned to the reference
 decoder before timing.
 
-Variants:
-  v0_current    decode_wire_i16 as shipped (compose -> i16 -> transpose
-                -> take)
+Variants (seven):
+  v0_current    decode_wire_i16 as shipped (since the round-3 rewrite
+                this IS the v5 byte-slice formulation, with the radix
+                take on raw rows from v1)
   v1_take_rows  radix take applied to RAW byte rows (contiguous 6 KB
-                row gather) BEFORE the compose/transpose
+                row gather) BEFORE a compose + [.., ch, 2] transpose
   v2_slices     deinterleave as 6 strided lane slices + stack (no
-                transpose op)
+                transpose op), radix take after
   v3_flat       one [S, 6] -> [6, S] 2-D transpose then reshape
-  v4_i32        like v0 but transpose in i32 (the pre-bf5884b layout)
+  v4_i32        compose + transpose in i32 (the pre-bf5884b layout)
+  v5_byteslice  per-plane strided BYTE slices, the int16 compose fused
+                into each slice (the shipped formulation, spelled out)
+  v6_bitcast_slice  bitcast byte pairs to LE i16 once, then 6 strided
+                lane slices + in-register byteswap per plane
 
 Run on the TPU:  python tools/decode_ab.py [--batch 32]
+(--smoke: tiny CPU run — checks parity + harness plumbing only.)
 """
 
 import argparse
@@ -40,6 +46,10 @@ def main():
     ap.add_argument("--steps", type=int, default=16,
                     help="in-jit loop steps per timed call (amortises "
                          "the ~20-40 ms tunnel dispatch latency)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU run — exercises every variant's "
+                         "parity pin and the JSON contract; the "
+                         "timings are meaningless")
     args = ap.parse_args()
 
     from wrp_tpu.cli import _honor_platform_env
@@ -48,12 +58,20 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from wrp_tpu.config import DEFAULT_CONFIG as cfg
+    from wrp_tpu.config import DEFAULT_CONFIG, tiny_config
     from wrp_tpu.io import codec
     from wrp_tpu.ops.device_codec import decode_wire_i16
     from wrp_tpu.ops.pallas.fullchain import radix_row_order
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/wrp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = tiny_config(m=256, n=128)
+        args.batch, args.reps, args.steps = 2, 1, 2
+    else:
+        cfg = DEFAULT_CONFIG
 
     m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
     nbytes = m * n * cfg.bytes_per_sample

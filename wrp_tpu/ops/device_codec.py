@@ -5,10 +5,12 @@ bottleneck of the consolidation design: one SIMD host core decodes
 ~1 440 wire sectors/s while one chip processes ~36 000/s, so saturating
 a chip takes ~25 decode cores (DESIGN.md §6).  This module moves the
 decode (byteswap + channel/IQ deinterleave + optional radix row
-reorder) onto the device as fused XLA elementwise ops plus one
-HBM-bandwidth transpose: the host then only reassembles datagrams and
-memcpys wire bytes, and the H2D traffic is unchanged (the wire IS
-int16: 12 B/sample either way).
+reorder) onto the device as six fused per-plane byte-slice passes (one
+contiguous row gather for the radix order, then one strided
+slice+compose pass per channel/IQ plane, stacked) — no transpose op
+anywhere: the host then only reassembles datagrams and memcpys wire
+bytes, and the H2D traffic is unchanged (the wire IS int16:
+12 B/sample either way).
 
 Chip-side decode spends device time a host-decoded feed would not —
 it is a deployment OPTION for host-core-constrained consolidation
@@ -37,8 +39,8 @@ def decode_wire_i16(wire_u8: jax.Array,
 
     Matches io/codec.decode_iq_i16 bit-exactly (big-endian int16
     deinterleave, optional radix row reorder).  All arithmetic is int32
-    (TPU-native); the only data movement is the deinterleave transpose,
-    which XLA performs at HBM bandwidth.
+    (TPU-native); the data movement is one contiguous row gather (the
+    radix order) plus six strided byte-slice passes — no transpose op.
     """
     m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
     nbytes = m * n * cfg.bytes_per_sample
@@ -47,13 +49,15 @@ def decode_wire_i16(wire_u8: jax.Array,
         raise ValueError(
             f"expected uint8 [..., {nbytes}] wire bytes; got "
             f"{wire_u8.dtype} {wire_u8.shape}")
-    # Formulation chosen by an on-chip A/B of six variants
-    # (tools/decode_ab.py, DECODE_AB_r03.json): per-plane strided BYTE
-    # slices with the int16 compose fused into each slice, 3.4x the
-    # transpose formulation it replaces (158 vs 536 us/sector).  A
-    # [m, n, ch, 2] -> [ch, 2, m, n] transpose moves 6-element minor
-    # tiles and ran at ~23 GB/s; six fused slice+compose passes that
-    # each read only their own bytes run at ~316 GB/s actual traffic.
+    # Formulation chosen by an on-chip A/B of seven variants
+    # (tools/decode_ab.py, DECODE_AB_r04.json): per-plane strided BYTE
+    # slices with the int16 compose fused into each slice
+    # (v5_byteslice = this function = v0_current, 156.5/156.9
+    # us/sector), 3.4x the transpose formulation it replaced (v4_i32,
+    # 538.8 us/sector).  A [m, n, ch, 2] -> [ch, 2, m, n] transpose
+    # moves 6-element minor tiles and ran at ~23 GB/s; six fused
+    # slice+compose passes that each read only their own bytes run at
+    # ~80 GB/s effective (read+write of the 6.3 MB sector in 157 us).
     rows = wire_u8.reshape(*lead, m, n * cfg.bytes_per_sample)
     if radix > 1:
         # the ONE canonical permutation (shared with the kernel plan and,
