@@ -303,15 +303,31 @@ def cmd_stream(args):
         publish = ZmqEgress(cfg, endpoint=args.zmq_pub)
 
     processor = None
+    if args.pulse_shard and not args.coordinator:
+        print("--pulse-shard needs the lock-step mesh (--coordinator)",
+              file=sys.stderr)
+        return 2
+    if args.pulse_shard and args.method not in ("mxu", "fft"):
+        # the pallas sharded path is pure data-parallel — it would not
+        # split the pulse axis and silently carry no cross-host collective
+        print("--pulse-shard supports --method mxu or fft (the "
+              "transpose-FFT seq sharding)", file=sys.stderr)
+        return 2
     if args.coordinator:
         # lock-step multi-host streaming: every host runs this command with
         # its own transport ports and --host-id; batches step collectively
         # over the global mesh (parallel/multihost.py).
-        from .parallel.multihost import MultiHostProcessor, init_distributed
+        from .parallel.multihost import (MultiHostProcessor,
+                                         PulseShardedProcessor,
+                                         init_distributed)
 
         init_distributed(args.coordinator, args.num_hosts, args.host_id)
-        processor = MultiHostProcessor.build(
-            cfg, per_host_batch=args.batch, method=args.method).step_local
+        if args.pulse_shard:
+            processor = PulseShardedProcessor.build(
+                cfg, batch=args.batch, method=args.method).step_local
+        else:
+            processor = MultiHostProcessor.build(
+                cfg, per_host_batch=args.batch, method=args.method).step_local
 
     volume = None
     if args.feed_checkpoint:
@@ -831,6 +847,15 @@ def main(argv=None):
                         "multi-host streaming over one global mesh")
     p.add_argument("--num-hosts", type=int, default=1)
     p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--pulse-shard", action="store_true",
+                   help="lock-step mode: sequence parallelism ACROSS "
+                        "hosts — every host ingests the same broadcast "
+                        "wire and computes a 1/N pulse-column slice of "
+                        "every sector; the transpose-FFT all_to_all/"
+                        "all_gather cross the host boundary "
+                        "(parallel/multihost.py PulseShardedProcessor). "
+                        "Default splits the sector STREAM instead "
+                        "(data-parallel, zero cross-host collectives)")
     p.add_argument("--collective-timeout", type=float, default=None,
                    metavar="S",
                    help="lock-step mode: bound every wait — when a "

@@ -111,3 +111,88 @@ class MultiHostProcessor:
         """feed -> step -> collect: this host's products for its sectors."""
         out = self.step_global(self.feed_local(local_planar))
         return tuple(self.collect_local(o) for o in out)
+
+
+@dataclasses.dataclass
+class PulseShardedProcessor:
+    """Sequence parallelism ACROSS hosts: every host ingests the same
+    broadcast wire and computes a pulse-axis slice of every sector.
+
+    The reference's ingest is UDP *broadcast* (udpbroadcast.cpp:30 sends
+    to INADDR_BROADCAST), so on a LAN every host already receives every
+    sector for free — this mode exploits that: instead of splitting the
+    sector stream (MultiHostProcessor's data-parallel mode), each of the
+    H hosts slices its 1/H share of the pulse columns from the same wire
+    bytes and the transpose-FFT seq sharding (sharded.py:38-104) stitches
+    the spectra back together with an all_to_all + all_gather that CROSS
+    the host boundary (DCN/gloo; ICI on a pod slice).  Use it to scale a
+    single sector's latency when one host's chip is the bottleneck.
+
+    Unlike the data-parallel mode, the per-step program genuinely BLOCKS
+    on a silent peer (the all_to_all needs every host's contribution) —
+    this is the configuration that exercises the executor's
+    collective-timeout bounded abort for real
+    (tests/test_multihost.py::test_pulse_sharded_*).
+
+    Mesh layout: the seq axis spans processes (process p owns mesh column
+    p), the data axis spans each process's local devices — so the batch
+    still splits over local chips while the pulse split rides the
+    cross-host links.  Every host feeds the full [B, C, 2, m, n] batch
+    and gets the full [B, m/2] products back (seq-replicated outputs),
+    so each host can publish/checkpoint the whole volume — N-way
+    redundancy instead of N-way sharding.
+    """
+
+    cfg: RadarConfig
+    mesh: Mesh
+    batch: int
+    _step: Callable
+    _in_sharding: NamedSharding
+    _pulse_slice: slice
+    _local_shape: Tuple[int, ...]
+
+    @classmethod
+    def build(cls, cfg: RadarConfig = DEFAULT_CONFIG, batch: int = 16,
+              method: str = "mxu") -> "PulseShardedProcessor":
+        from jax.sharding import Mesh as _Mesh
+
+        from .mesh import SEQ_AXIS
+
+        procs = jax.process_count()
+        local = jax.local_device_count()
+        # jax.devices() is process-major: reshape(P, L).T puts process
+        # p's devices in mesh column p -> the seq axis crosses hosts
+        devs = np.asarray(jax.devices()).reshape(procs, local).T
+        mesh = _Mesh(devs, (DATA_AXIS, SEQ_AXIS))
+        if batch % local:
+            raise ValueError(
+                f"batch {batch} must divide by local devices ({local})")
+        step, in_sharding = build_sharded_processor(cfg, mesh, method=method)
+        c, m, n = cfg.sector_shape
+        pid = jax.process_index()
+        n_loc = n // procs
+        return cls(cfg=cfg, mesh=mesh, batch=batch, _step=step,
+                   _in_sharding=in_sharding,
+                   _pulse_slice=slice(pid * n_loc, (pid + 1) * n_loc),
+                   _local_shape=(batch, c, 2, m, n))
+
+    def step_local(self, planar: np.ndarray):
+        """Full planar batch [batch, C, 2, m, n] (every host passes the
+        same sectors, decoded from the shared broadcast wire) ->
+        (zdb, zdr) [batch, m/2] — the FULL products, on every host."""
+        if planar.shape != self._local_shape:
+            raise ValueError(
+                f"expected {self._local_shape}, got {planar.shape}")
+        local = np.ascontiguousarray(planar[..., self._pulse_slice])
+        g = jax.make_array_from_process_local_data(self._in_sharding, local)
+        out = self._step(g)
+        return tuple(self._collect(o) for o in out)
+
+    def _collect(self, out: jax.Array) -> np.ndarray:
+        """[batch, m/2] products, batch-sharded over this host's local
+        devices (seq-replicated), reassembled in batch order."""
+        rows = {}
+        for shard in out.addressable_shards:
+            start = shard.index[0].start or 0
+            rows[start] = np.asarray(shard.data)
+        return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
