@@ -16,10 +16,16 @@ generations, so no processed sector is ever re-lost.
 
 Scope: process-level supervision on one box (the same harness the
 multi-host tests use).  On a real pod the only thing that changes is
-`spawn` — inject a launcher that starts the worker on a remote host; the
-generation/regroup state machine is identical.  Sectors broadcast while
-a feed has no live worker are gone (a radar cannot replay the sky);
-that loss window is bounded by the regroup time and reported per feed.
+the injected launcher: `spawn(host_id, argv, env, log_file) -> handle`
+(see Supervisor.__init__) starts the worker wherever host_id maps —
+the generation/regroup state machine is identical, and the supervisor
+touches workers ONLY through the returned handle's Popen-shaped
+surface (poll/wait/send_signal/kill/pid).  The seam is exercised with
+a fake remote fleet — launch latency, machine loss, regroup placement
+on survivors — in tests/test_supervisor.py (test_remote_launcher_*).
+Sectors broadcast while a feed has no live worker are gone (a radar
+cannot replay the sky); that loss window is bounded by the regroup
+time and reported per feed.
 
 jax.distributed cannot shrink a live mesh in place (the device set is
 fixed at initialize time), so regroup = checkpoint + relaunch with
@@ -146,10 +152,18 @@ class Supervisor:
         log_dir: Optional[Path] = None,
         extra_args: Sequence[str] = (),
         env: Optional[dict] = None,
-        spawn: Optional[Callable[[List[str], Optional[dict],
+        spawn: Optional[Callable[[int, List[str], Optional[dict],
                                   Optional[Path]],
                                  subprocess.Popen]] = None,
     ) -> None:
+        """spawn: the launcher seam — `spawn(host_id, argv, env,
+        log_file) -> handle`.  Default starts a local subprocess;
+        a pod deployment injects one that starts `argv` on the machine
+        `host_id` maps to.  The handle must expose the Popen surface
+        the supervisor uses: `poll() -> rc|None`, `wait(timeout)`,
+        `send_signal(signo)`, `kill()`, `pid`.  host_id is the worker's
+        mesh rank within its generation (0..hosts-1) — launchers that
+        pin ranks to machines key placement on it."""
         if not feeds:
             raise ValueError("need at least one feed")
         if hosts < 1:
@@ -213,8 +227,10 @@ class Supervisor:
         # the 0.5 s poll doesn't deserialize every volume every tick
         self._cov_cache: dict = {}
 
-    def _default_spawn(self, argv: List[str], env: Optional[dict],
+    def _default_spawn(self, host_id: int, argv: List[str],
+                       env: Optional[dict],
                        log_file: Optional[Path]) -> subprocess.Popen:
+        del host_id               # local launcher: every rank is this box
         if log_file is None:
             return subprocess.Popen(argv, env=env,
                                     stdout=subprocess.DEVNULL,
@@ -308,7 +324,7 @@ class Supervisor:
                                      coordinator)
             pubs.append(argv[argv.index("--zmq-pub") + 1]
                         if "--zmq-pub" in argv else None)
-            proc = self._spawn(argv, self.env, logf)
+            proc = self._spawn(host_id, argv, self.env, logf)
             workers.append(_Worker(host_id, share, proc, ready, logf))
         self._event("launch", hosts=hosts, coordinator=coordinator,
                     workers=[{"host_id": w.host_id, "pid": w.proc.pid,
