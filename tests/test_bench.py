@@ -119,3 +119,28 @@ def test_decode_ab_smoke_contract():
         # a healthy variant reports its timing fields
         assert "error" not in r[v], (v, r[v])
         assert r[v]["us_per_sector"] > 0, (v, r[v])
+
+
+def test_consolidation_soak_smoke_contract():
+    """tools/consolidation_soak.py (the N-feeds-one-chip scaling
+    evidence behind CONSOLIDATION_r04.json) must keep its per-feed JSON
+    contract alive: a udp+zmq feed pair, per-feed latency percentiles,
+    loss accounting, and the per-feed fp64-oracle contamination check
+    (with its wrong-feed teeth probe)."""
+    from conftest import cpu_subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, "tools/consolidation_soak.py", "--smoke"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env=cpu_subprocess_env())
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    record = lines[-1]
+    assert record["metric"] == "consolidation_soak"
+    assert record["kinds"] == ["udp", "zmq"]
+    assert record["contamination_failures"] == []
+    assert len(record["per_feed"]) == 2
+    for row in record["per_feed"]:
+        assert row["processed_sectors"] > 0
+        assert row["verify_rel_l2_max"] < 1e-6     # CPU fp32 floor
+        assert row["p99_ms"] is not None

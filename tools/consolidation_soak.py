@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Consolidation-at-scale soak: N concurrent radar feeds through ONE chip.
+
+DESIGN.md §6's multiplexing story ("one chip ≈ many radars") was
+demonstrated with 2 feeds; this tool produces the scaling evidence: N
+feeds (a udp + zmq mix — even feed indices udp, odd zmq), each producing
+at a real radar's sector rate, soaked for a fixed duration through one
+StreamingExecutor in multi-feed consolidation mode, with per-feed
+volumes, per-feed latency percentiles, loss accounting, and a
+cross-contamination check that pins each feed's STORED products to that
+feed's OWN fp64 oracle (and proves the check has teeth by confirming a
+neighbour feed's oracle does NOT match).
+
+The reference processed one feed per GPU and barely kept up
+(SURVEY.md §6: 36-73 sectors/s on the 930M); nothing like multi-feed
+multiplexing exists there.
+
+Producers use `cli produce --per-sector-seed`, so any sampled sector's
+IQ is recomputable from (feed seed, k) alone — verification does not
+replay the stream.
+
+Usage:
+  python tools/consolidation_soak.py --feeds 4 --duration 60      # on chip
+  python tools/consolidation_soak.py --feeds 8 --duration 60 --device-decode
+  python tools/consolidation_soak.py --smoke          # CPU plumbing check
+  ... --out CONSOLIDATION_r04.json                    # append a record
+
+Prints one JSON line per feed plus a summary line; exits 1 on any
+contamination-check failure or dropped sector.
+"""
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# one real volume scan / minute => ~21.5 sectors/s per radar (SURVEY.md §6)
+REAL_RADAR_RATE = 143 * 9 / 60.0
+
+
+def last_k_for_label(sector: int, elevation: int, sent: int,
+                     num_sectors: int = 143, num_elevations: int = 9):
+    """Largest global index k < sent whose label is (sector, elevation)
+    — the write that survives in the volume (labels cycle with period
+    num_sectors * num_elevations)."""
+    period = num_sectors * num_elevations
+    base = sector + num_sectors * elevation
+    if base >= sent:
+        return None
+    return base + period * ((sent - 1 - base) // period)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feeds", type=int, default=4)
+    ap.add_argument("--duration", type=float, default=60.0,
+                    help="producer span in seconds (>=60 for the record)")
+    ap.add_argument("--rate", type=float, default=REAL_RADAR_RATE,
+                    help="per-feed sectors/s (default: one real radar)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--method", default="pallas",
+                    help="pallas on the chip; mxu for CPU plumbing runs")
+    ap.add_argument("--device-decode", action="store_true",
+                    help="ship raw wire bytes, decode on-chip "
+                         "(ops/device_codec) — frees the host decode "
+                         "cores that otherwise scale with feed count")
+    ap.add_argument("--timeout", type=float, default=1.0)
+    ap.add_argument("--verify-samples", type=int, default=6,
+                    help="labels per feed pinned to the feed's fp64 oracle")
+    ap.add_argument("--zdb-tol", type=float, default=1e-4,
+                    help="rel-L2 bound per sampled label (TPU bf16x3 "
+                         "floor is ~3e-6; CPU ~6e-8)")
+    ap.add_argument("--base-port", type=int, default=23100)
+    ap.add_argument("--out", default=None,
+                    help="append the summary record to this JSON file")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU run: 2 feeds, short soak, mxu — checks "
+                         "the harness plumbing, the rates are meaningless")
+    args = ap.parse_args()
+    if args.smoke:
+        args.feeds = 2
+        args.duration = 3.0
+        args.rate = 4.0
+        args.batch = 2
+        args.method = "mxu"
+        args.verify_samples = 2
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wrp_tpu_jax_cache")
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from wrp_tpu import DEFAULT_CONFIG, oracle
+    from wrp_tpu.cli import _honor_platform_env, produce_sector_iq
+    from wrp_tpu.io.udp import UdpIngest
+    from wrp_tpu.runtime import StreamingExecutor, VolumeScan
+
+    _honor_platform_env()
+
+    # a whole sector is a 6.3 MB datagram burst; the default
+    # net.core.rmem_max (4.2 MB) cannot hold even one — raise it when
+    # we may (root), else UdpIngest's clamp warning tells the operator
+    try:
+        with open("/proc/sys/net/core/rmem_max", "w") as f:
+            f.write(str(1 << 27))
+    except OSError:
+        pass
+
+    cfg = DEFAULT_CONFIG
+    workdir = args.workdir or tempfile.mkdtemp(prefix="wrp_soak_")
+    os.makedirs(workdir, exist_ok=True)
+    sectors_per_feed = int(args.rate * args.duration)
+    feed_seed = [1000 + k for k in range(args.feeds)]
+
+    # even feeds udp, odd feeds zmq — the consolidation contract is
+    # transport-agnostic (uniform recv_sector + IngestStats)
+    kinds = ["udp" if k % 2 == 0 else "zmq" for k in range(args.feeds)]
+    transports = []
+    producer_cmds = []
+    for k, kind in enumerate(kinds):
+        port = args.base_port + k
+        cmd = [sys.executable, "-m", "wrp_tpu.cli", "produce",
+               "--transport", kind, "--sectors", str(sectors_per_feed),
+               "--rate", str(args.rate), "--headers",
+               "--per-sector-seed", "--seed", str(feed_seed[k])]
+        if kind == "udp":
+            transports.append(UdpIngest(cfg, port=port,
+                                        timeout_s=args.timeout))
+            cmd += ["--ingest-port", str(port)]
+        else:
+            from wrp_tpu.io.zmq_io import ZmqIngest
+
+            transports.append(ZmqIngest(
+                cfg, endpoint=f"tcp://127.0.0.1:{port}",
+                timeout_ms=int(args.timeout * 1e3)))
+            cmd += ["--zmq-bind", f"tcp://*:{port}"]
+        producer_cmds.append(cmd)
+
+    volumes = [VolumeScan(cfg, os.path.join(workdir, f"feed{k}.npz"))
+               for k in range(args.feeds)]
+
+    producers = []
+
+    def start_producers():
+        # launched from on_ready: the chain is compiled and every ingest
+        # thread is listening, so the wire never outruns the warmup
+        for k, cmd in enumerate(producer_cmds):
+            logf = open(os.path.join(workdir, f"producer{k}.err"), "wb")
+            producers.append(subprocess.Popen(
+                cmd, stdout=logf, stderr=logf,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))
+            logf.close()
+
+    ex = StreamingExecutor(
+        cfg, transport=transports, publish=None, batch=args.batch,
+        method=args.method, device_decode=args.device_decode,
+        volume=volumes, checkpoint_every_s=None,
+        idle_limit=max(5, math.ceil(10.0 / args.timeout)),
+        on_ready=start_producers,
+    )
+    t0 = time.monotonic()
+    stats = ex.run()
+    span_s = time.monotonic() - t0 - stats["timers"].get(
+        "compute/warmup_compile", {}).get("total_s", 0.0)
+    rcs = [p.wait(timeout=60) for p in producers]
+    if any(rcs):
+        sys.exit(f"producer exit codes {rcs} (logs in {workdir})")
+
+    # ---- contamination check: each feed's volume vs ITS oracle --------
+    rng = np.random.default_rng(2024)
+    failures = []
+    teeth_checked = False
+    per_feed = []
+    for k in range(args.feeds):
+        vol = volumes[k]
+        covered = np.argwhere(vol.coverage)
+        samples = covered[rng.choice(len(covered),
+                                     min(args.verify_samples, len(covered)),
+                                     replace=False)]
+        errs = []
+        for s, e in samples:
+            klast = last_k_for_label(int(s), int(e), sectors_per_feed,
+                                     cfg.num_sectors, cfg.num_elevations)
+            iq = produce_sector_iq(cfg, feed_seed[k], klast)
+            zdb64, _ = oracle.process_sector(iq, cfg)
+            err = oracle.relative_l2(zdb64, vol.data[0, :, s, e])
+            errs.append(float(err))
+            if not err < args.zdb_tol:
+                failures.append({"feed": k, "sector": int(s),
+                                 "elevation": int(e), "rel_l2": float(err)})
+            if not teeth_checked:
+                # the check must DETECT contamination, not just pass:
+                # the same label against a neighbour feed's oracle
+                wrong = produce_sector_iq(
+                    cfg, feed_seed[(k + 1) % args.feeds], klast)
+                zdb_wrong, _ = oracle.process_sector(wrong, cfg)
+                cross = oracle.relative_l2(zdb_wrong, vol.data[0, :, s, e])
+                # zdb is log-domain: two noise sectors share the gain
+                # ramp, so a wrong feed reads ~1e-2 rel-L2 — far above
+                # tol but nowhere near O(1); demand a decade of margin
+                if not cross > 10 * args.zdb_tol:
+                    failures.append({"feed": k, "teeth": float(cross)})
+                teeth_checked = True
+        fstats = stats["feeds"][k]
+        tr = fstats["transport"]
+        drops = (tr.get("dropped_sectors", 0)
+                 + tr.get("dropped_datagrams", 0))
+        lat = fstats["latency_ms"] or {}
+        row = {
+            "feed": k, "kind": kinds[k],
+            "processed_sectors": fstats["processed_sectors"],
+            "sent_sectors": sectors_per_feed,
+            "sectors_per_second": round(
+                fstats["processed_sectors"] / span_s, 2),
+            "p50_ms": lat.get("p50_ms"), "p99_ms": lat.get("p99_ms"),
+            "drops": drops,
+            "verify_labels": len(samples),
+            "verify_rel_l2_max": max(errs) if errs else None,
+        }
+        per_feed.append(row)
+        print(json.dumps(row), flush=True)
+
+    record = {
+        "metric": "consolidation_soak",
+        "feeds": args.feeds,
+        "kinds": kinds,
+        "duration_s": round(span_s, 1),
+        "rate_per_feed": args.rate,
+        "method": args.method,
+        "device_decode": args.device_decode,
+        "batch": args.batch,
+        "backend": jax.devices()[0].platform,
+        "total_sectors": stats["processed_sectors"],
+        "total_sectors_per_second": round(
+            stats["processed_sectors"] / span_s, 2),
+        "latency_ms": stats["latency_ms"],
+        "per_feed": per_feed,
+        "contamination_failures": failures,
+        "smoke": args.smoke,
+    }
+    print(json.dumps(record), flush=True)
+    if args.out:
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+                if not isinstance(existing, list):
+                    existing = [existing]
+        existing.append(record)
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
+    if failures:
+        sys.exit(1)
+    total_drops = sum(r["drops"] for r in per_feed)
+    if total_drops and not args.smoke:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

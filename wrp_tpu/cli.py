@@ -556,6 +556,15 @@ def cmd_volume(args):
     return 0
 
 
+def produce_sector_iq(cfg, seed: int, k: int):
+    """The IQ matrix `produce --per-sector-seed SEED` puts on the wire
+    for global sector index k — shared so verifiers recompute exactly
+    what the producer sent, from (seed, k) alone."""
+    rng = np.random.default_rng((seed, k))
+    return (rng.integers(-8192, 8192, cfg.sector_shape)
+            + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+
+
 def cmd_produce(args):
     from . import oracle
     from .config import DEFAULT_CONFIG
@@ -601,6 +610,13 @@ def cmd_produce(args):
         elevation = (k // cfg.num_sectors) % cfg.num_elevations
         if replay_wire is not None:
             wire = replay_wire
+        elif args.per_sector_seed:
+            # sector k recomputable WITHOUT replaying the whole stream:
+            # verification harnesses (tools/consolidation_soak.py) can
+            # re-derive any sampled sector's IQ directly from (seed, k)
+            # and pin the feed's stored products to its own fp64 oracle
+            iq = produce_sector_iq(cfg, args.seed, k)
+            wire = codec.encode_iq(iq, cfg)
         else:
             iq = (rng.integers(-8192, 8192, cfg.sector_shape)
                   + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
@@ -949,6 +965,12 @@ def main(argv=None):
                         "sector/elevation counters start here)")
     p.add_argument("--rate", type=float, default=0.0, help="sectors/s cap")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--per-sector-seed", action="store_true",
+                   help="derive sector k's IQ from (seed, k) instead of "
+                        "one sequential stream — any sector is then "
+                        "independently recomputable by a verifier "
+                        "(tools/consolidation_soak.py contamination "
+                        "checks)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--ingest-port", type=int, default=None)
     p.add_argument("--zmq-bind", default="tcp://*:5563")

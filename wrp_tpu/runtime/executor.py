@@ -239,6 +239,11 @@ class StreamingExecutor:
         self.timers = StageTimers()
         self.throughput = Throughput()
         self.latency = LatencyStats()
+        # per-feed reservoirs: consolidation mode multiplexes radars with
+        # different wire rates through one chip, and a merged percentile
+        # would let a fast feed mask a slow feed's tail (the serving
+        # question is per radar: "how stale is THIS sweep on screen")
+        self.feed_latencies = [LatencyStats() for _ in range(nfeeds)]
         if device_decode and (processor is not None or method != "pallas"):
             raise ValueError("device_decode (on-chip wire decode) requires "
                              "method='pallas' without a processor override")
@@ -541,7 +546,9 @@ class StreamingExecutor:
                     self._publish_one(t, zdb[k], zdr[k])
             self._feed_processed[t.feed] += 1
             if t.t_recv:
-                self.latency.record(time.perf_counter() - t.t_recv)
+                dt = time.perf_counter() - t.t_recv
+                self.latency.record(dt)
+                self.feed_latencies[t.feed].record(dt)
         self.throughput.tick(len(tasks))
         self._processed += len(tasks)
         self._maybe_checkpoint()
@@ -765,6 +772,7 @@ class StreamingExecutor:
         if len(self.transports) > 1:
             out["feeds"] = [
                 {"processed_sectors": self._feed_processed[k],
+                 "latency_ms": self.feed_latencies[k].summary(),
                  "transport": dataclasses.asdict(tr.stats)
                  if hasattr(tr, "stats") else {}}
                 for k, tr in enumerate(self.transports)
