@@ -78,11 +78,12 @@ def main():
                     help="2 compares against the reference's 2-channel "
                          "nocin baseline (73.5 sectors/s)")
     ap.add_argument("--a-layout", default=None,
-                    choices=["split", "kcat", "kcat2"],
+                    choices=["split", "kcat", "kcat2", "kpad"],
                     help="radix-kernel A-operand layout (A/B harness; "
                          "default = ops.pallas.fullchain.A_LAYOUT; kcat2 "
                          "= two-dot K-concat, 1/3 less stack-copy "
-                         "traffic)")
+                         "traffic; kpad = K zero-padded 3M->4M, testing "
+                         "K-alignment at 4/3 the MACs)")
     ap.add_argument("--clip", default=None, choices=["mxu3", "vpu"],
                     help="fused-kernel clip-bin formulation (A/B harness; "
                          "default = ops.pallas.fullchain.CLIP_MODE; vpu = "

@@ -144,3 +144,23 @@ def test_consolidation_soak_smoke_contract():
         assert row["processed_sectors"] > 0
         assert row["verify_rel_l2_max"] < 1e-6     # CPU fp32 floor
         assert row["p99_ms"] is not None
+
+
+def test_int_split_repro_smoke_contract():
+    """tools/int_split_repro.py (the filing-ready reduction of the
+    Mosaic int-mask SIGABRT, VERDICT r3 item 5b) must keep both its
+    variants runnable in interpret mode and its JSON contract alive —
+    on the TPU the int variant documents the toolchain failure, so the
+    harness around it must not rot."""
+    from conftest import cpu_subprocess_env
+
+    for variant in ("int", "f32"):
+        out = subprocess.run(
+            [sys.executable, "tools/int_split_repro.py", "--smoke",
+             "--variant", variant],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+            env=cpu_subprocess_env())
+        assert out.returncode == 0, (variant, out.stdout[-300:],
+                                     out.stderr[-2000:])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        assert r["variant"] == variant and r["ok"] and not r["repro"]

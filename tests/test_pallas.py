@@ -80,14 +80,15 @@ def test_fused_chain_method_vs_oracle():
     assert oracle.relative_l2(stages["10zdr"], zdr) < 2e-4
 
 
-@pytest.mark.parametrize("layout", ["split", "kcat", "kcat2"])
+@pytest.mark.parametrize("layout", ["split", "kcat", "kcat2", "kpad"])
 def test_radix_kernel_layouts_vs_oracle(layout):
     """All A-operand layouts of the radix kernel (split = six [M, M]
     planes with three MXU passes per Gauss product; kcat = one K=3M dot
     with in-MXU accumulation; kcat2 = two dots with a 2M-row stack and a
-    free-slice al@xh pass) must match the fp64 oracle.  The default
-    layout is whichever measured faster on hardware (fullchain.A_LAYOUT);
-    this pins the non-default ones so an A/B flip can't rot."""
+    free-slice al@xh pass; kpad = kcat with K zero-padded to 4M) must
+    match the fp64 oracle.  The default layout is whichever measured
+    faster on hardware (fullchain.A_LAYOUT); this pins the non-default
+    ones so an A/B flip can't rot."""
     import jax.numpy as jnp
 
     from wrp_tpu.config import DEFAULT_CONFIG
@@ -154,7 +155,7 @@ def test_radix_kernel_layouts_agree():
     rng = np.random.default_rng(5)
     x = rng.integers(-8192, 8192, (2, 2, cfg.m, cfg.n)).astype(np.float32)
     outs = {}
-    for layout in ("split", "kcat", "kcat2"):
+    for layout in ("split", "kcat", "kcat2", "kpad"):
         a_np, fac = FC.radix_plan_host(consts, radix, layout=layout)
         outs[layout] = np.asarray(FC.fused_chain_power_radix(
             jnp.asarray(x), jnp.asarray(a_np), fac,
@@ -162,6 +163,8 @@ def test_radix_kernel_layouts_agree():
             interpret=True, kcat2=(layout == "kcat2")))
     assert oracle.relative_l2(outs["split"], outs["kcat"]) < 1e-6
     assert oracle.relative_l2(outs["split"], outs["kcat2"]) < 1e-6
+    # the zero K-block contributes exactly 0: kpad == kcat bit-for-bit
+    assert np.array_equal(outs["kpad"], outs["kcat"])
 
 
 @pytest.mark.parametrize("clip", ["mxu3", "vpu"])

@@ -30,22 +30,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: name -> (xsplit, pair) per fused_chain_power_radix.  pair is always
-#: EXPLICIT (False = unpaired), never None: None would resolve the
-#: X_PAIR module default inside the kernel, so the moment the A/B flips
-#: that default the baseline rows would silently measure (and
+#: name -> (xsplit, pair, a_layout) per fused_chain_power_radix.  pair
+#: is always EXPLICIT (False = unpaired), never None: None would resolve
+#: the X_PAIR module default inside the kernel, so the moment the A/B
+#: flips that default the baseline rows would silently measure (and
 #: mislabel) a different configuration than their name claims.
 VARIANTS = {
-    "kcat":         (None, False),     # the round-3 production default
-    "int":          ("int", False),
-    "pair":         (None, True),      # in-kernel lane concat, g=2
-    "pair_pre":     (None, "pre"),     # input staged lane-paired
-    "pair_int":     ("int", True),
-    "pair_pre_int": ("int", "pre"),
-    "quad":         (None, 4),         # g=4: N=2048 dots
-    "quad_pre":     (None, "pre4"),
-    "quad_int":     ("int", 4),
-    "quad_pre_int": ("int", "pre4"),
+    "kcat":         (None, False, "kcat"),   # the round-3 production default
+    "kpad":         (None, False, "kpad"),   # K zero-padded 3M->4M (r4 5a)
+    "int":          ("int", False, "kcat"),
+    "pair":         (None, True, "kcat"),    # in-kernel lane concat, g=2
+    "pair_pre":     (None, "pre", "kcat"),   # input staged lane-paired
+    "pair_int":     ("int", True, "kcat"),
+    "pair_pre_int": ("int", "pre", "kcat"),
+    "quad":         (None, 4, "kcat"),       # g=4: N=2048 dots
+    "quad_pre":     (None, "pre4", "kcat"),
+    "quad_int":     ("int", 4, "kcat"),
+    "quad_pre_int": ("int", "pre4", "kcat"),
 }
 
 
@@ -109,9 +110,14 @@ def main():
           f"variants {names}", file=sys.stderr)
 
     consts = PipelineConstants.build(cfg)
-    a_np, fac = FC.radix_plan_host(consts, radix)
     put = functools.partial(jax.device_put, device=dev)
-    a_radix = put(a_np)
+    # one A operand per layout a requested variant reads (kpad carries
+    # its zero K-block in the array; the kernel dispatches on shape)
+    a_by_layout = {}
+    fac = None
+    for lay in sorted({VARIANTS[v][2] for v in names}):
+        a_np, fac = FC.radix_plan_host(consts, radix, layout=lay)
+        a_by_layout[lay] = put(a_np)
     wd_d = put(consts.wd)
     ph_d = put(consts.clip_phasors)
     gain_d = put(consts.gain)
@@ -155,11 +161,13 @@ def main():
     results = []
     failed = False
     for name in names:
-        xsplit, pair = VARIANTS[name]
+        xsplit, pair, layout = VARIANTS[name]
         g, pre = FC.pair_group(pair)
         x_stage = dev_pre[g] if pre else dev_flat
+        a_radix = a_by_layout[layout]
 
-        def power_at(x_all, off, salt, xsplit=xsplit, pair=pair):
+        def power_at(x_all, off, salt, xsplit=xsplit, pair=pair,
+                     a_radix=a_radix):
             return FC.fused_chain_power_radix(
                 x_all, a_radix, fac, wd_d, ph_d, interpret=interp,
                 offset=off, bc=bcn, salt=salt, xsplit=xsplit, pair=pair)
@@ -186,7 +194,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failed = True
             row = {"variant": name, "xsplit": xsplit,
-                   "xpair": FC.pair_name(pair),
+                   "xpair": FC.pair_name(pair), "a_layout": layout,
                    "error": f"{type(e).__name__}: {str(e)[:300]}"}
             results.append(row)
             print(json.dumps(row))
@@ -217,6 +225,7 @@ def main():
             "variant": name,
             "xsplit": xsplit,
             "xpair": FC.pair_name(pair),
+            "a_layout": layout,
             "sectors_per_second": round(rate, 2),
             "vs_baseline": round(rate / BASELINE_3CH, 2),
             "parity_rel_l2": [round(err0, 9), round(err1, 9)],

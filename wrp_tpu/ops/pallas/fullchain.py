@@ -439,9 +439,9 @@ def radix_plan_host(consts: PipelineConstants, radix: int,
     layout = layout or A_LAYOUT
     if layout == "kcat2":
         layout = "kcat"   # same operand array; only the kernel pattern
-    if layout not in ("split", "kcat"):
+    if layout not in ("split", "kcat", "kpad"):
         raise ValueError(f"unknown A layout {layout!r}: use 'split', "
-                         "'kcat', or 'kcat2'")
+                         "'kcat', 'kcat2', or 'kpad'")
     mh, m = consts.op_a_half.shape
     M = m // radix
     S = (m // 2) // M
@@ -454,9 +454,15 @@ def radix_plan_host(consts: PipelineConstants, radix: int,
     for p in range(radix):
         tp = np.exp(-2j * np.pi * p * q / m)          # DIT twiddle, folded
         sp = split_operator_host((FM * wr_c[p::radix][None, :]) * tp[:, None])
-        if layout == "kcat":
+        if layout in ("kcat", "kpad"):
+            pads = ([np.zeros((M, M), sp.dtype)] if layout == "kpad"
+                    else [])
+            # "kpad": K padded 384 -> 512 with a zero block — same math,
+            # 4/3 the MACs, but every dot's K is the power-of-two 4M
+            # (VERDICT r3 item 5a: is K-alignment the occupancy culprit?)
             sp = np.stack([
-                np.concatenate([sp[2 * g], sp[2 * g], sp[2 * g + 1]], axis=1)
+                np.concatenate([sp[2 * g], sp[2 * g], sp[2 * g + 1]]
+                               + pads, axis=1)
                 for g in range(3)
             ])
         a_planes.append(sp)
@@ -575,6 +581,11 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
     m = x_ref.shape[2]
     M = m // radix
+    # [R, 3, M, 4M]: K zero-padded to the power-of-two 4M ("kpad")
+    kpad = kcat and a_ref.shape[3] == 4 * M
+    if kpad and kcat2:
+        raise ValueError("kcat2 and the kpad operand are exclusive "
+                         "(kcat2's sub-slices assume the 3M layout)")
     g, pre = pair_group(pair or False)
     if g > 1 and not pre:
         # lane-concat the group's planes: one [m, g*n] block per plane;
@@ -630,10 +641,16 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
         elif kcat:
             # one K=3M MXU dot per Gauss product: [ah|ah|al]@[xh;xl;xh]
             # accumulates the three split passes inside the MXU (no VPU
-            # f32 adds between passes)
-            m1 = dot(a_ref[p, 0], jnp.concatenate([xrh, xrl, xrh], axis=0))
-            m2 = dot(a_ref[p, 1], jnp.concatenate([xih, xil, xih], axis=0))
-            m3 = dot(a_ref[p, 2], jnp.concatenate([xsh, xsl, xsh], axis=0))
+            # f32 adds between passes).  kpad: the A operand carries a
+            # 4th, all-zero M-block, so any resident plane serves as the
+            # matching x rows — xh avoids materialising a zeros block.
+            def kstack(xh, xl):
+                blocks = [xh, xl, xh] + ([xh] if kpad else [])
+                return jnp.concatenate(blocks, axis=0)
+
+            m1 = dot(a_ref[p, 0], kstack(xrh, xrl))
+            m2 = dot(a_ref[p, 1], kstack(xih, xil))
+            m3 = dot(a_ref[p, 2], kstack(xsh, xsl))
         else:
             m1 = dot3(a_ref[p, 0], a_ref[p, 1], xrh, xrl)   # Ap_re @ x_re
             m2 = dot3(a_ref[p, 2], a_ref[p, 3], xih, xil)   # Ap_im @ x_im
