@@ -202,14 +202,28 @@ def main():
 
         # parity gate (bench.py contract): salt=0 must reproduce the
         # unsalted processor; a salted step must sit inside the documented
-        # cancellation residual.
+        # cancellation residual.  A variant whose gate FETCH dies (e.g. a
+        # deferred device fault from the timed pass surfacing on this
+        # sync) must not kill the sweep either — same contract as the
+        # compile guard above.
         def _zdb(salt, power_at=power_at):
             pw = power_at(x_stage, 0, salt).reshape(args.batch, c, -1)
             return np.asarray(
                 stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
 
-        err0 = relative_l2(zdb_ref, _zdb(0))
-        err1 = relative_l2(zdb_ref, _zdb(7))
+        try:
+            err0 = relative_l2(zdb_ref, _zdb(0))
+            err1 = relative_l2(zdb_ref, _zdb(7))
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            failed = True
+            row = {"variant": name, "xsplit": xsplit,
+                   "xpair": FC.pair_name(pair), "a_layout": layout,
+                   "compile_s": round(t_compile, 1),
+                   "error": f"parity-gate {type(e).__name__}: "
+                            f"{str(e)[:300]}"}
+            results.append(row)
+            print(json.dumps(row))
+            continue
         ok = err0 < 1e-4 and err1 < 1e-3
         failed |= not ok
 
