@@ -130,7 +130,10 @@ def test_consolidation_soak_smoke_contract():
     from conftest import cpu_subprocess_env
 
     out = subprocess.run(
-        [sys.executable, "tools/consolidation_soak.py", "--smoke"],
+        [sys.executable, "tools/consolidation_soak.py", "--smoke",
+         # dedicated port range: the tool's default base collides with
+         # any concurrently-running real soak on the same box
+         "--base-port", "23150"],
         cwd=REPO, capture_output=True, text=True, timeout=300,
         env=cpu_subprocess_env())
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])

@@ -68,12 +68,16 @@ def test_decode_throughput_floor(rng):
     cfg = DEFAULT_CONFIG
     wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
     native.decode_iq(wire, cfg.m, cfg.n, 3)  # warm
-    t0 = time.perf_counter()
+    # best of three windows: a capability floor, not a contention probe
+    # (a concurrent soak/bench on the box must not flake this test)
     k = 10
-    for _ in range(k):
-        native.decode_iq(wire, cfg.m, cfg.n, 3)
-    rate = k / (time.perf_counter() - t0)
-    assert rate > 600, f"native decode too slow: {rate:.1f} sectors/s"
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            native.decode_iq(wire, cfg.m, cfg.n, 3)
+        best = max(best, k / (time.perf_counter() - t0))
+    assert best > 600, f"native decode too slow: {best:.1f} sectors/s"
 
 
 def test_native_decode_rejects_bad_out_arrays():
