@@ -104,9 +104,11 @@ def main():
     from wrp_tpu import DEFAULT_CONFIG, oracle
     from wrp_tpu.cli import _honor_platform_env, produce_sector_iq
     from wrp_tpu.io.udp import UdpIngest
-    from wrp_tpu.runtime import StreamingExecutor, VolumeScan
+    from wrp_tpu.runtime import StreamingExecutor, VolumeScan, \
+        configure_logging
 
     _honor_platform_env()
+    configure_logging("info")   # progress lines make a hung run diagnosable
 
     # a whole sector is a 6.3 MB datagram burst; the default
     # net.core.rmem_max (4.2 MB) cannot hold even one — raise it when
