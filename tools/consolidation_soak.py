@@ -73,6 +73,17 @@ def main():
     ap.add_argument("--timeout", type=float, default=1.0)
     ap.add_argument("--verify-samples", type=int, default=6,
                     help="labels per feed pinned to the feed's fp64 oracle")
+    ap.add_argument("--udp-feeds", type=int, default=1,
+                    help="how many of the feeds use the v1 per-row UDP "
+                         "wire (syscall-heavy: ~40%% of a core per live "
+                         "feed at real rate); the rest use the v2 "
+                         "whole-sector zmq wire")
+    ap.add_argument("--pool", type=int, default=16,
+                    help="producer replay-pool size (pre-encoded distinct "
+                         "sectors per feed; synthesis costs ~50 ms/sector "
+                         "of host CPU, which cannot feed a radar's rate "
+                         "live on a small host — a real radar streams "
+                         "captured samples).  0 = synthesise every sector")
     ap.add_argument("--zdb-tol", type=float, default=1e-4,
                     help="rel-L2 bound per sampled label (TPU bf16x3 "
                          "floor is ~3e-6; CPU ~6e-8)")
@@ -125,9 +136,15 @@ def main():
     sectors_per_feed = int(args.rate * args.duration)
     feed_seed = [1000 + k for k in range(args.feeds)]
 
-    # even feeds udp, odd feeds zmq — the consolidation contract is
-    # transport-agnostic (uniform recv_sector + IngestStats)
-    kinds = ["udp" if k % 2 == 0 else "zmq" for k in range(args.feeds)]
+    # udp + zmq mix.  The v1 per-pulse-row UDP framing (the reference's
+    # wire) costs ~20 ms/sector of syscalls on EACH side (1025 datagrams
+    # per sector), i.e. ~40% of a core per live feed at a real radar's
+    # rate — so the udp feed count is a flag sized to the host, and the
+    # remaining feeds ride the v2 whole-sector zmq wire (~4 ms/sector).
+    # The consolidation contract is transport-agnostic either way
+    # (uniform recv_sector + IngestStats).
+    kinds = ["udp" if k < args.udp_feeds else "zmq"
+             for k in range(args.feeds)]
     transports = []
     producer_cmds = []
     for k, kind in enumerate(kinds):
@@ -136,6 +153,8 @@ def main():
                "--transport", kind, "--sectors", str(sectors_per_feed),
                "--rate", str(args.rate), "--headers",
                "--per-sector-seed", "--seed", str(feed_seed[k])]
+        if args.pool:
+            cmd += ["--pool", str(args.pool)]
         if kind == "udp":
             transports.append(UdpIngest(cfg, port=port,
                                         timeout_s=args.timeout))
@@ -153,6 +172,15 @@ def main():
                for k in range(args.feeds)]
 
     producers = []
+    # producers never touch the device: pin them to CPU and strip the
+    # TPU-plugin sitecustomize from PYTHONPATH — on a wedged tunnel that
+    # hook can hang INTERPRETER STARTUP, which read as idle feeds here
+    prod_env = dict(os.environ)
+    prod_env["PYTHONPATH"] = os.pathsep.join(
+        p for p in prod_env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    prod_env["JAX_PLATFORMS"] = "cpu"
+    prod_env["JAX_PLATFORM_NAME"] = "cpu"
 
     def start_producers():
         # launched from on_ready: the chain is compiled and every ingest
@@ -160,7 +188,7 @@ def main():
         for k, cmd in enumerate(producer_cmds):
             logf = open(os.path.join(workdir, f"producer{k}.err"), "wb")
             producers.append(subprocess.Popen(
-                cmd, stdout=logf, stderr=logf,
+                cmd, stdout=logf, stderr=logf, env=prod_env,
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))))
             logf.close()
@@ -169,7 +197,11 @@ def main():
         cfg, transport=transports, publish=None, batch=args.batch,
         method=args.method, device_decode=args.device_decode,
         volume=volumes, checkpoint_every_s=None,
-        idle_limit=max(5, math.ceil(10.0 / args.timeout)),
+        # generous idle window: producer startup (interpreter + pool
+        # pre-encode, ~50 ms/sector) happens after on_ready, and on a
+        # one-core host the launches serialise
+        idle_limit=max(5, math.ceil((20.0 + 0.06 * args.pool * args.feeds)
+                                    / args.timeout)),
         on_ready=start_producers,
     )
     t0 = time.monotonic()
@@ -195,6 +227,8 @@ def main():
         for s, e in samples:
             klast = last_k_for_label(int(s), int(e), sectors_per_feed,
                                      cfg.num_sectors, cfg.num_elevations)
+            if args.pool:
+                klast = klast % args.pool    # replay pool: entry k % N
             iq = produce_sector_iq(cfg, feed_seed[k], klast)
             zdb64, _ = oracle.process_sector(iq, cfg)
             err = oracle.relative_l2(zdb64, vol.data[0, :, s, e])
@@ -244,6 +278,7 @@ def main():
         "device_decode": args.device_decode,
         "batch": args.batch,
         "backend": jax.devices()[0].platform,
+        "host_cores": os.cpu_count(),
         "total_sectors": stats["processed_sectors"],
         "total_sectors_per_second": round(
             stats["processed_sectors"] / span_s, 2),

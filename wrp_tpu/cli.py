@@ -602,6 +602,17 @@ def cmd_produce(args):
         replay[:2] = iq2
         replay_wire = codec.encode_iq(replay, cfg)
 
+    pool = None
+    if args.pool:
+        # pre-encoded replay pool: synthesising + encoding a sector costs
+        # ~50 ms of host CPU, which cannot feed a real radar's 21.5
+        # sectors/s live on a small host — so pay it up front for
+        # args.pool distinct sectors and replay them cyclically (send is
+        # ~3 ms).  Pool entry j uses the (seed, j) derivation, so a
+        # verifier recomputes sector k's IQ as produce_sector_iq(cfg,
+        # seed, k % pool) — per-sector-seed semantics, bounded memory.
+        pool = [codec.encode_iq(produce_sector_iq(cfg, args.seed, j), cfg)
+                for j in range(args.pool)]
     rng = np.random.default_rng(args.seed)
     sent = 0
     for k0 in range(args.sectors):
@@ -610,6 +621,8 @@ def cmd_produce(args):
         elevation = (k // cfg.num_sectors) % cfg.num_elevations
         if replay_wire is not None:
             wire = replay_wire
+        elif pool is not None:
+            wire = pool[k % args.pool]
         elif args.per_sector_seed:
             # sector k recomputable WITHOUT replaying the whole stream:
             # verification harnesses (tools/consolidation_soak.py) can
@@ -971,6 +984,12 @@ def main(argv=None):
                         "independently recomputable by a verifier "
                         "(tools/consolidation_soak.py contamination "
                         "checks)")
+    p.add_argument("--pool", type=int, default=0, metavar="N",
+                   help="pre-encode N distinct (seed, j)-derived sectors "
+                        "and replay them cyclically — sector k's IQ is "
+                        "pool entry k %% N.  Decouples the wire rate from "
+                        "the ~50 ms/sector synthesis cost (a real radar "
+                        "streams captured samples; it does not synthesise)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--ingest-port", type=int, default=None)
     p.add_argument("--zmq-bind", default="tcp://*:5563")
