@@ -32,16 +32,27 @@ BASELINE_2CH = 73.5   # prof/nocin-sep.prof
 # rescales the headline to the record session's calibration so a
 # driver-day regression is distinguishable from tunnel weather without
 # reading prose.  RECORD_CALIB_TFLOPS is the probe's reading in the
-# session that produced the number of record (BENCH_r04.json).
-RECORD_CALIB_TFLOPS = 62.8   # 2026-08-18 r04 session, probe below
+# session that anchors the normalization.
+#
+# Probe history: the r4 review caught that the original 16-step probe
+# (2.2 TFLOP/dispatch, ~35 ms) was ~2/3 fixed tunnel-dispatch cost —
+# it calibrated RPC weather, not chip rate, while the 96-step headline
+# is only ~3% dispatch-sensitive.  A same-window A/B (2026-08-19)
+# measured 57.7 TFLOP/s at 16 steps vs 169.1 at 256 (86% of v5e's
+# 197 bf16 nameplate — the chip itself was healthy all along); the
+# probe is now 256-step and the anchor pair is that session's
+# (value 29 506, calib 169.1).  Old-probe artifacts (calib ~50-64)
+# are not comparable to new-probe ones.
+RECORD_CALIB_TFLOPS = 169.1   # 2026-08-19 session, 256-step probe
 
 
 def calibration_probe(jnp, lax, jax, np):
-    """Fixed yardstick: 16-step chain of salted 4096-cube bf16 matmuls
-    (the same scale as round 3's ad hoc probe, DESIGN.md section 3).
+    """Fixed yardstick: 256-step chain of salted 4096-cube bf16 matmuls
+    (~35 TFLOP: long enough that the tunnel's 20-40 ms dispatch cost is
+    <3% of the reading — the same amortisation the headline span uses).
     Serial by construction (each step consumes the previous), so no
     step can be elided; returns delivered TFLOP/s, best of 3."""
-    N, STEPS = 4096, 16
+    N, STEPS = 4096, 256
     x = jnp.ones((N, N), jnp.bfloat16)
 
     @jax.jit
@@ -625,8 +636,11 @@ def main():
     t0 = time.perf_counter()
     for k in range(npipe):
         out_k = proc_stream(d_cur)          # async dispatch
-        if k + 1 < npipe:
-            d_cur = jax.device_put(slabs[(k + 1) % len(slabs)], dev)
+        # unconditional: the span must contain exactly npipe transfers
+        # for its npipe computes, or a link-bound reading overstates the
+        # steady-state rate by npipe/(npipe-1) (the last put still
+        # overlaps compute k like every other)
+        d_cur = jax.device_put(slabs[(k + 1) % len(slabs)], dev)
         if prev is not None:
             fetch(prev)                     # D2H of batch k-1
         prev = out_k

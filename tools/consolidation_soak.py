@@ -122,12 +122,16 @@ def main():
     configure_logging("info")   # progress lines make a hung run diagnosable
 
     # a whole sector is a 6.3 MB datagram burst; the default
-    # net.core.rmem_max (4.2 MB) cannot hold even one — raise it when
-    # we may (root), else UdpIngest's clamp warning tells the operator
+    # net.core.rmem_max (4.2 MB) cannot hold even one — RAISE it when we
+    # may (root), never lower an administrator's larger setting, else
+    # UdpIngest's clamp warning tells the operator
     try:
-        with open("/proc/sys/net/core/rmem_max", "w") as f:
-            f.write(str(1 << 27))
-    except OSError:
+        with open("/proc/sys/net/core/rmem_max") as f:
+            cur = int(f.read().strip())
+        if cur < (1 << 27):
+            with open("/proc/sys/net/core/rmem_max", "w") as f:
+                f.write(str(1 << 27))
+    except (OSError, ValueError):
         pass
 
     cfg = DEFAULT_CONFIG
@@ -206,8 +210,14 @@ def main():
     )
     t0 = time.monotonic()
     stats = ex.run()
-    span_s = time.monotonic() - t0 - stats["timers"].get(
-        "compute/warmup_compile", {}).get("total_s", 0.0)
+    # active span: first batch completion -> last batch completion.
+    # Wall-clock minus warmup would still include producer startup and
+    # the idle-drain tail (idle_limit * timeout after the wire goes
+    # quiet), deflating every rate by tens of percent.
+    span_s = ex.throughput.last_tick - ex.throughput.first_tick
+    if span_s <= 0:   # degenerate single-batch run
+        span_s = time.monotonic() - t0 - stats["timers"].get(
+            "compute/warmup_compile", {}).get("total_s", 0.0)
     rcs = [p.wait(timeout=60) for p in producers]
     if any(rcs):
         sys.exit(f"producer exit codes {rcs} (logs in {workdir})")
@@ -215,15 +225,25 @@ def main():
     # ---- contamination check: each feed's volume vs ITS oracle --------
     rng = np.random.default_rng(2024)
     failures = []
-    teeth_checked = False
     per_feed = []
+    period = cfg.num_sectors * cfg.num_elevations
     for k in range(args.feeds):
         vol = volumes[k]
         covered = np.argwhere(vol.coverage)
-        samples = covered[rng.choice(len(covered),
-                                     min(args.verify_samples, len(covered)),
-                                     replace=False)]
+        # prefer single-occurrence labels: a label sent more than once
+        # (soaks longer than one volume period) whose LAST occurrence
+        # was dropped would hold an earlier occurrence's products, and
+        # the last-k oracle would misread that drop as contamination
+        once = np.array([
+            [s, e] for s, e in covered
+            if (s + cfg.num_sectors * e) + period >= sectors_per_feed
+        ])
+        candidates = once if len(once) else covered
+        samples = candidates[rng.choice(
+            len(candidates),
+            min(args.verify_samples, len(candidates)), replace=False)]
         errs = []
+        teeth_checked = False    # one wrong-feed probe PER FEED
         for s, e in samples:
             klast = last_k_for_label(int(s), int(e), sectors_per_feed,
                                      cfg.num_sectors, cfg.num_elevations)

@@ -148,10 +148,18 @@ class Throughput:
     window: float = 10.0
     count: int = 0
     started: float = field(default_factory=time.perf_counter)
+    # first/last completion timestamps survive window pruning: harnesses
+    # use them for an active-span rate that excludes warmup and the
+    # idle-drain tail (completion-to-completion)
+    first_tick: float = 0.0
+    last_tick: float = 0.0
     _events: list = field(default_factory=list)
 
     def tick(self, n: int = 1) -> None:
         now = time.perf_counter()
+        if not self.first_tick:
+            self.first_tick = now
+        self.last_tick = now
         self.count += n
         self._events.append((now, n))
         cutoff = now - self.window
