@@ -464,3 +464,67 @@ def test_pulse_shard_blocked_collective_bounded_abort(tmp_path):
             if p.poll() is None:
                 p.send_signal(signal.SIGKILL)
                 p.wait(timeout=30)
+
+
+MISALIGN_WORKER = r"""
+import os, sys
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from wrp_tpu.config import tiny_config
+from wrp_tpu import pipeline
+from wrp_tpu.parallel.multihost import PulseShardedProcessor, init_distributed
+
+init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+cfg = tiny_config(m=64, n=32)
+B = 4
+rng = np.random.default_rng(7)
+iq = (rng.integers(-2048, 2048, (B, *cfg.sector_shape))
+      + 1j * rng.integers(-2048, 2048, (B, *cfg.sector_shape)))
+planar = pipeline.to_planar(iq.astype(np.complex64))
+proc = PulseShardedProcessor.build(cfg, batch=B, method="mxu")
+
+# aligned labels: the check passes and products come back
+labels = np.stack([np.arange(B), np.zeros(B)], axis=1).astype(np.int32)
+zdb, zdr = proc.step_local(planar, labels=labels)
+assert zdb.shape == (B, cfg.num_output_bins)
+
+# host 1 shifts its labels by one (a dropped wire sector): EVERY host
+# must refuse the step loudly instead of mixing pulse columns
+bad = labels + (1 if pid == 1 else 0)
+try:
+    proc.step_local(planar, labels=bad)
+except RuntimeError as e:
+    assert "misaligned" in str(e), e
+    print(f"MISALIGN_CAUGHT pid={pid}", flush=True)
+else:
+    print(f"MISALIGN_MISSED pid={pid}", flush=True)
+"""
+
+
+def test_pulse_shard_misaligned_batch_refused():
+    """A dropped wire sector on one host shifts its batch slots; the
+    pulse-sharded step must refuse the batch on EVERY host (naming the
+    slot) rather than let the cross-host all_to_all silently mix pulse
+    columns from different sectors."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", MISALIGN_WORKER, str(pid), "2",
+             str(port)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for pid, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        assert "MISALIGN_CAUGHT" in out, (pid, p.returncode, out,
+                                          err[-2000:])

@@ -176,17 +176,49 @@ class PulseShardedProcessor:
                    _pulse_slice=slice(pid * n_loc, (pid + 1) * n_loc),
                    _local_shape=(batch, c, 2, m, n))
 
-    def step_local(self, planar: np.ndarray):
+    def step_local(self, planar: np.ndarray, labels=None):
         """Full planar batch [batch, C, 2, m, n] (every host passes the
         same sectors, decoded from the shared broadcast wire) ->
-        (zdb, zdr) [batch, m/2] — the FULL products, on every host."""
+        (zdb, zdr) [batch, m/2] — the FULL products, on every host.
+
+        labels: optional [batch, 2] int32 (sector, elevation) rows, -1
+        padding.  When given, batch alignment is verified ACROSS HOSTS
+        before dispatch: unlike the data-parallel mode, this step mixes
+        per-slot pulse columns from every host through the all_to_all,
+        so one host dropping a wire sector would silently corrupt every
+        product on every host from that slot on.  The check costs one
+        tiny host all-gather per batch and turns that silent corruption
+        into a loud RuntimeError (which the streaming executor's
+        collective-abort path converts into a bounded checkpoint-and-
+        exit).  The executor passes labels automatically."""
         if planar.shape != self._local_shape:
             raise ValueError(
                 f"expected {self._local_shape}, got {planar.shape}")
+        if labels is not None:
+            self._check_aligned(labels)
         local = np.ascontiguousarray(planar[..., self._pulse_slice])
         g = jax.make_array_from_process_local_data(self._in_sharding, local)
         out = self._step(g)
         return tuple(self._collect(o) for o in out)
+
+    def _check_aligned(self, labels) -> None:
+        from jax.experimental import multihost_utils
+
+        lab = np.asarray(labels, np.int32)
+        if lab.shape != (self.batch, 2):
+            raise ValueError(f"labels must be [{self.batch}, 2] "
+                             f"(sector, elevation); got {lab.shape}")
+        allv = np.asarray(multihost_utils.process_allgather(lab))
+        ref = allv[0]
+        if not (allv == ref[None]).all():
+            bad = np.argwhere((allv != ref[None]).any(axis=2))
+            p, i = (int(v) for v in bad[0])
+            raise RuntimeError(
+                f"pulse-shard batch misaligned across hosts: slot {i} "
+                f"is (sector, elevation) {tuple(ref[i])} on host 0 but "
+                f"{tuple(allv[p, i])} on host {p} — a feed dropped or "
+                f"reordered a wire sector; aborting before the "
+                f"all_to_all mixes pulse columns from different sectors")
 
     def _collect(self, out: jax.Array) -> np.ndarray:
         """[batch, m/2] products, batch-sharded over this host's local

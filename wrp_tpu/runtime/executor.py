@@ -253,6 +253,18 @@ class StreamingExecutor:
             self._decode_radix = 0          # external step: natural f32
             self._do_device_put = False     # steps own their placement
             self._device = None
+            # steps that accept labels get each batch's (sector,
+            # elevation) rows — PulseShardedProcessor verifies batch
+            # alignment across hosts with them (a dropped wire sector on
+            # one host would otherwise silently corrupt every host's
+            # products through the cross-host all_to_all)
+            import inspect
+
+            try:
+                self._proc_takes_labels = "labels" in (
+                    inspect.signature(processor).parameters)
+            except (TypeError, ValueError):
+                self._proc_takes_labels = False
         elif method == "pallas":
             # fused-kernel fast path: compact int16 feed, rows decoded
             # straight into radix-DIT order (no on-device permutation);
@@ -499,7 +511,13 @@ class StreamingExecutor:
         with self.timers.time("compute/dispatch"), \
                 self._stall_watch("collective dispatch"):
             try:
-                zdb, zdr = self.processor(planar)
+                if getattr(self, "_proc_takes_labels", False):
+                    labels = np.full((self.batch, 2), -1, np.int32)
+                    for i, t in enumerate(tasks):
+                        labels[i] = (t.sector, t.elevation)
+                    zdb, zdr = self.processor(planar, labels=labels)
+                else:
+                    zdb, zdr = self.processor(planar)
             except Exception:
                 # a dead peer may surface as a backend error (connection
                 # reset) instead of an infinite block — same bounded exit.
