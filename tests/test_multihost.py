@@ -5,6 +5,8 @@ topology of parallel/multihost.py without a pod (SURVEY.md section 4:
 'multi-node testing without a cluster')."""
 
 import socket
+
+import numpy as np
 import subprocess
 import sys
 from pathlib import Path
@@ -528,3 +530,71 @@ def test_pulse_shard_misaligned_batch_refused():
             out, err = p.communicate()
         assert "MISALIGN_CAUGHT" in out, (pid, p.returncode, out,
                                           err[-2000:])
+
+
+def test_pulse_shard_one_broadcast_wire(tmp_path):
+    """The reference's actual fan-out (udpbroadcast.cpp:30 sends to
+    INADDR_BROADCAST): ONE producer broadcasts, every pulse-shard host
+    binds the SAME port (SO_REUSEPORT) and receives every sector from
+    the one wire — no per-host feeds.  Both hosts must produce the full
+    identical volume (N-way redundancy)."""
+    import json
+    import time
+
+    from wrp_tpu.runtime import VolumeScan
+
+    coord_port = _free_port()
+    ing = _free_port()                       # ONE shared ingest port
+    ready = [tmp_path / f"ready{pid}" for pid in range(2)]
+    ckpt = [tmp_path / f"vol{pid}.npz" for pid in range(2)]
+    hosts = []
+    for pid in range(2):
+        env = {
+            "JAX_PLATFORM_NAME": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "PYTHONPATH": str(REPO),
+        }
+        hosts.append(subprocess.Popen(
+            [sys.executable, "-m", "wrp_tpu.cli", "stream",
+             "--transport", "udp", "--ingest-port", str(ing),
+             "--zdb-port", str(_free_port()),
+             "--zdr-port", str(_free_port()),
+             "--batch", "2", "--max-sectors", "2", "--timeout", "60",
+             "--method", "fft", "--pulse-shard",
+             "--ready-file", str(ready[pid]),
+             "--checkpoint", str(ckpt[pid]),
+             "--coordinator", f"127.0.0.1:{coord_port}",
+             "--num-hosts", "2", "--host-id", str(pid)],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=env))
+
+    deadline = time.monotonic() + 180
+    while not all(r.exists() for r in ready):
+        for p in hosts:
+            assert p.poll() is None, p.communicate()
+        assert time.monotonic() < deadline, "hosts never became ready"
+        time.sleep(0.5)
+
+    # ONE producer, broadcasting on the loopback broadcast address:
+    # both hosts' sockets receive every datagram
+    subprocess.run(
+        [sys.executable, "-m", "wrp_tpu.cli", "produce",
+         "--transport", "udp", "--host", "127.255.255.255",
+         "--ingest-port", str(ing), "--sectors", "2", "--headers",
+         "--rate", "2"],
+        cwd=REPO, check=True, capture_output=True, timeout=120)
+
+    vols = []
+    for pid, p in enumerate(hosts):
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, (pid, out[-500:], err[-2000:])
+        stats = json.loads(out[out.index("{"):])
+        assert stats["processed_sectors"] == 2, (pid, stats)
+        vols.append(VolumeScan.load(str(ckpt[pid])))
+    assert (vols[0].coverage == vols[1].coverage).all()
+    assert int(vols[0].coverage.sum()) == 2
+    f = np.isfinite(vols[0].data)
+    assert np.allclose(vols[0].data[f], vols[1].data[np.isfinite(
+        vols[1].data)])

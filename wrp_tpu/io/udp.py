@@ -54,6 +54,13 @@ class UdpIngest:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         try:
+            # several processes may bind the SAME port to share one
+            # broadcast wire (pulse-shard workers co-hosted in tests;
+            # broadcast datagrams are delivered to every bound socket)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        except (OSError, AttributeError):
+            pass
+        try:
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
                                   rcvbuf_bytes)
         except OSError:
@@ -278,6 +285,11 @@ class UdpProducer:
         self.rows_per_burst = rows_per_burst
         self.burst_gap_s = burst_gap_s
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # the reference producer sends to INADDR_BROADCAST
+        # (udpbroadcast.cpp:30): with a broadcast host (e.g.
+        # 127.255.255.255 on loopback) EVERY listener on the port gets
+        # every sector — the one-wire fan-out the pulse-shard mode rides
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_BROADCAST, 1)
 
     def send_sector(self, wire: bytes, sector: int = 0,
                     elevation: int = 0) -> None:
