@@ -888,3 +888,155 @@ def test_supervise_device_decode_passthrough(tmp_path, capsys):
                      extra_args=["--device-decode"])
     argv = sup._worker_argv(0, 1, sup.feeds, tmp_path / "r", None)
     assert "--device-decode" in argv and "pallas" in argv
+
+
+def test_pulse_shard_mode_validation(tmp_path):
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    f = lambda i: FeedSpec(port=22000 + i, checkpoint=tmp_path / f"w{i}.npz")
+    with pytest.raises(ValueError, match="exactly one"):
+        Supervisor([f(0), f(1)], hosts=2, pulse_shard=True)
+    with pytest.raises(ValueError, match="fan-out"):
+        Supervisor([f(0)], hosts=2, transport="tcp", pulse_shard=True)
+    with pytest.raises(ValueError, match="mxu or"):
+        Supervisor([f(0)], hosts=2, method="pallas", pulse_shard=True)
+    # 3 hosts on ONE feed is the POINT of redundant mode, not an error
+    Supervisor([f(0)], hosts=3, pulse_shard=True)
+
+
+def test_pulse_shard_fleet_shape_and_shrink(tmp_path):
+    """Redundant fleet: every worker ingests the one broadcast wire
+    (same --ingest-port), runs --pulse-shard, and keeps its own slot
+    copy of the volume; a post-ready death shrinks to a 1-host
+    generation that degenerates to a plain stream (no mesh, no pulse
+    flag) on the same wire."""
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    feeds = [FeedSpec(port=22100, checkpoint=tmp_path / "wire.npz")]
+    queue = ["ready_hang", "ready_die9", "ready_exit0"]
+    spawned = []
+
+    def spawn(host_id, argv, env, log_file):
+        ready = Path(argv[argv.index("--ready-file") + 1])
+        p = _FakeProc(queue.pop(0), ready)
+        spawned.append((p, argv))
+        return p
+
+    sup = Supervisor(feeds, hosts=2, poll_s=0.02, spawn=spawn,
+                     pulse_shard=True,
+                     state_file=tmp_path / "state.jsonl")
+    out = sup.run()
+    assert out["ok"] and out["generations"] == 2
+    a0, a1, a2 = (a for _, a in spawned)
+    for a in (a0, a1):                       # gen 0: the pulse mesh
+        assert "--pulse-shard" in a and "--coordinator" in a
+        assert a[a.index("--ingest-port") + 1] == "22100"
+        assert "--feed-checkpoint" not in a
+    assert a0[a0.index("--checkpoint") + 1].endswith("wire.h0.npz")
+    assert a1[a1.index("--checkpoint") + 1].endswith("wire.h1.npz")
+    # gen 1: one host, plain whole-wire stream, same slot-0 checkpoint
+    assert "--pulse-shard" not in a2 and "--coordinator" not in a2
+    assert a2[a2.index("--ingest-port") + 1] == "22100"
+    assert a2[a2.index("--checkpoint") + 1].endswith("wire.h0.npz")
+
+
+def test_pulse_shard_checkpoint_seeding_and_coverage(tmp_path):
+    """Each generation's slots start from the FRESHEST surviving volume
+    copy, and the feed's coverage is the max over slots."""
+    import time as _time
+
+    import numpy as np
+
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.runtime import VolumeScan
+    from wrp_tpu.runtime.supervisor import FeedSpec, Supervisor
+
+    feeds = [FeedSpec(port=22200, checkpoint=tmp_path / "wire.npz")]
+    sup = Supervisor(feeds, hosts=3, pulse_shard=True, spawn=lambda *a: 0)
+    stale = VolumeScan(DEFAULT_CONFIG, sup._host_ckpt(0))
+    stale.store(0, 0, np.zeros(512, np.float32), np.zeros(512, np.float32))
+    stale.save()
+    _time.sleep(0.05)            # distinct mtimes
+    fresh = VolumeScan(DEFAULT_CONFIG, sup._host_ckpt(2))
+    for s in range(3):
+        fresh.store(s, 0, np.zeros(512, np.float32),
+                    np.zeros(512, np.float32))
+    fresh.save()
+    assert sup._feed_coverage(feeds[0]) == 3          # max over slots
+    sup._seed_host_ckpts(hosts=2)
+    for k in range(2):
+        assert int(VolumeScan.load(
+            str(sup._host_ckpt(k))).coverage.sum()) == 3
+
+
+def test_supervise_pulse_shard_broadcast_regroup(tmp_path):
+    """End to end: `cli supervise --pulse-shard` runs a 2-host redundant
+    fleet on ONE broadcast wire (both workers bind the same port); a
+    SIGKILL of one worker regroups to a single whole-wire host seeded
+    from the freshest volume copy, a second broadcast completes the
+    target, exit 0."""
+    port = _free_port()
+    state = tmp_path / "state.jsonl"
+    ckdir = tmp_path / "ck"
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "supervise",
+         "--feed-port", str(port), "--hosts", "2", "--pulse-shard",
+         "--method", "fft",
+         "--checkpoint-dir", str(ckdir), "--target-sectors", "4",
+         "--batch", "2", "--timeout", "5", "--collective-timeout", "15",
+         "--state-file", str(state)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=_cpu_env())
+    try:
+        launch0 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 0, "gen-0 launch")
+        assert len(launch0["workers"]) == 2
+        assert launch0["coordinator"] is not None
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 0, "gen-0 ready")
+
+        def produce_bcast(sectors, start=0):
+            subprocess.run(
+                [sys.executable, "-m", "wrp_tpu.cli", "produce",
+                 "--transport", "udp", "--host", "127.255.255.255",
+                 "--ingest-port", str(port), "--sectors", str(sectors),
+                 "--start-sector", str(start), "--headers", "--rate", "2"],
+                cwd=REPO, check=True, capture_output=True, timeout=120,
+                env=_cpu_env())
+
+        produce_bcast(2)
+        h = [ckdir / f"feed{port}.h{k}.npz" for k in range(2)]
+        deadline = time.monotonic() + 180
+        # BOTH slots hold the full products (N-way redundancy)
+        while any(_coverage(p) < 2 for p in h):
+            assert time.monotonic() < deadline, [_coverage(p) for p in h]
+            assert sup.poll() is None
+            time.sleep(0.5)
+
+        os.kill(launch0["workers"][1]["pid"], signal.SIGKILL)
+        launch1 = _await_event(
+            state, sup, lambda e: e["event"] == "launch"
+            and e["generation"] == 1, "gen-1 launch")
+        assert len(launch1["workers"]) == 1
+        assert launch1["coordinator"] is None     # plain whole-wire host
+        _await_event(state, sup, lambda e: e["event"] == "ready"
+                     and e["generation"] == 1, "gen-1 ready")
+
+        produce_bcast(2, start=2)
+        out, err = sup.communicate(timeout=300)
+        assert sup.returncode == 0, (sup.returncode, out[-2000:],
+                                     err[-2000:])
+        summary = json.loads(out)
+        assert summary["ok"] and summary["coverage"] == {str(port): 4}
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait(timeout=30)
+        for ev in _events(state):
+            if ev["event"] == "launch":
+                for w in ev["workers"]:
+                    try:
+                        os.kill(w["pid"], signal.SIGKILL)
+                    except (OSError, ProcessLookupError):
+                        pass

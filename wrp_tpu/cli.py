@@ -474,6 +474,7 @@ def cmd_supervise(args):
             ready_timeout_s=args.ready_timeout,
             state_file=args.state_file,
             log_dir=ckdir / "logs",   # postmortems of host deaths
+            pulse_shard=args.pulse_shard,
             extra_args=(["--log-level", args.log_level]
                         + (["--device-decode"] if args.device_decode
                            else [])),
@@ -918,6 +919,16 @@ def main(argv=None):
     p.add_argument("--hosts", type=int, default=None,
                    help="initial worker-process count (default: one per "
                         "feed)")
+    p.add_argument("--pulse-shard", action="store_true",
+                   help="redundant-fleet mode: exactly ONE broadcast "
+                        "feed (udp broadcast / zmq pub) that EVERY host "
+                        "ingests whole; workers run `stream "
+                        "--pulse-shard` (each computes a 1/N pulse "
+                        "slice, full products everywhere), a host death "
+                        "re-slices automatically, and the freshest "
+                        "per-host volume copy seeds each generation — "
+                        "no processed sector is lost while any host "
+                        "survives")
     p.add_argument("--checkpoint-dir", required=True,
                    help="per-feed volumes land here as feed<PORT>.npz and "
                         "FOLLOW the feed across regroups")

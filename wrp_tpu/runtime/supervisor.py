@@ -152,6 +152,7 @@ class Supervisor:
         log_dir: Optional[Path] = None,
         extra_args: Sequence[str] = (),
         env: Optional[dict] = None,
+        pulse_shard: bool = False,
         spawn: Optional[Callable[[int, List[str], Optional[dict],
                                   Optional[Path]],
                                  subprocess.Popen]] = None,
@@ -163,15 +164,40 @@ class Supervisor:
         the supervisor uses: `poll() -> rc|None`, `wait(timeout)`,
         `send_signal(signo)`, `kill()`, `pid`.  host_id is the worker's
         mesh rank within its generation (0..hosts-1) — launchers that
-        pin ranks to machines key placement on it."""
+        pin ranks to machines key placement on it.
+
+        pulse_shard: redundant-fleet mode — exactly ONE feed (a
+        broadcast wire every host receives: udp broadcast or a zmq PUB
+        all SUBs connect to), every host ingests the whole wire, and
+        the workers run `stream --pulse-shard` (each computes a 1/N
+        pulse slice, full products on every host).  A host death
+        shrinks the fleet and the pulse split re-slices automatically;
+        each host keeps its own checkpoint of the SAME volume
+        (<feed>.hK.npz), the freshest copy seeding every new
+        generation, so no processed sector is lost while ANY host
+        survives.  A 1-host generation degenerates to a plain stream
+        consuming the full wire."""
         if not feeds:
             raise ValueError("need at least one feed")
         if hosts < 1:
             raise ValueError("need at least one host")
-        if hosts > len(feeds):
+        if pulse_shard:
+            if len(feeds) != 1:
+                raise ValueError("pulse_shard supervises exactly one "
+                                 "broadcast feed (every host receives "
+                                 "the whole wire)")
+            if transport == "tcp":
+                raise ValueError("pulse_shard needs a fan-out wire "
+                                 "(udp broadcast or zmq pub/sub); tcp "
+                                 "delivers each sector to one reader")
+            if method not in ("mxu", "fft"):
+                raise ValueError("pulse_shard supports method mxu or "
+                                 "fft (the transpose-FFT seq sharding)")
+        elif hosts > len(feeds):
             # a host with zero feeds would idle forever and (in lock-step
             # mode) starve the mesh into everyone's collective timeout
             raise ValueError(f"{hosts} hosts but only {len(feeds)} feeds")
+        self.pulse_shard = pulse_shard
         if transport not in ("udp", "tcp", "zmq"):
             raise ValueError(f"unsupported transport {transport!r}")
         for f in feeds:
@@ -259,11 +285,40 @@ class Supervisor:
 
     def _assign(self, hosts: int) -> List[List[FeedSpec]]:
         """Round-robin feeds over hosts — the dead host's feeds land on
-        survivors without moving anyone else's checkpoint files."""
+        survivors without moving anyone else's checkpoint files.
+        pulse_shard: every host ingests the one broadcast feed."""
+        if self.pulse_shard:
+            return [[self.feeds[0]] for _ in range(hosts)]
         shares: List[List[FeedSpec]] = [[] for _ in range(hosts)]
         for i, f in enumerate(self.feeds):
             shares[i % hosts].append(f)
         return shares
+
+    def _host_ckpt(self, host_id: int) -> Path:
+        """pulse_shard: host slot K's copy of the shared volume."""
+        base = self.feeds[0].checkpoint
+        return base.parent / f"{base.stem}.h{host_id}{base.suffix}"
+
+    def _seed_host_ckpts(self, hosts: int) -> None:
+        """pulse_shard: every generation starts each slot from the
+        FRESHEST surviving copy of the volume — a slot whose host died
+        generations ago would otherwise resume a stale file and carry a
+        permanent coverage gap."""
+        existing = [(p.stat().st_mtime_ns, p)
+                    for p in (self._host_ckpt(k)
+                              for k in range(self._max_hosts))
+                    if p.exists()]
+        if not existing:
+            return
+        freshest = max(existing)[1]
+        for k in range(hosts):
+            dst = self._host_ckpt(k)
+            if dst != freshest:
+                try:
+                    shutil.copy2(freshest, dst)
+                except OSError as e:   # stale slot is better than no run
+                    log.warning("could not seed %s from %s: %s",
+                                dst, freshest, e)
 
     def _worker_argv(self, host_id: int, hosts: int, feeds: List[FeedSpec],
                      ready: Path, coordinator: Optional[str]) -> List[str]:
@@ -279,7 +334,20 @@ class Supervisor:
             "--ready-file", str(ready),
             "--collective-timeout", str(self.collective_timeout),
         ]
-        if self.transport == "zmq":
+        if self.pulse_shard:
+            # one broadcast wire, whole-wire ingest per host, per-slot
+            # copy of the one volume; the pulse split itself needs the
+            # lock-step mesh, so a 1-host generation runs plain
+            f = feeds[0]
+            if self.transport == "zmq":
+                argv += ["--zmq-sub", str(f.endpoint),
+                         "--zmq-pub", f"tcp://127.0.0.1:{_free_port()}"]
+            else:
+                argv += ["--ingest-port", str(f.port)]
+            argv += ["--checkpoint", str(self._host_ckpt(host_id))]
+            if coordinator is not None:
+                argv += ["--pulse-shard"]
+        elif self.transport == "zmq":
             for f in feeds:
                 argv += ["--feed-endpoint", str(f.endpoint)]
             # ZmqEgress BINDS its pub endpoint: co-hosted workers need
@@ -290,8 +358,9 @@ class Supervisor:
         else:
             for f in feeds:
                 argv += ["--feed-port", str(f.port)]
-        for f in feeds:
-            argv += ["--feed-checkpoint", str(f.checkpoint)]
+        if not self.pulse_shard:
+            for f in feeds:
+                argv += ["--feed-checkpoint", str(f.checkpoint)]
         if self.zdb_port is not None:
             argv += ["--zdb-port", str(self.zdb_port)]
         if self.zdr_port is not None:
@@ -305,6 +374,8 @@ class Supervisor:
 
     def _launch_generation(self, hosts: int) -> List[_Worker]:
         self.generation += 1
+        if self.pulse_shard:
+            self._seed_host_ckpts(hosts)
         shares = self._assign(hosts)
         # >1 host: a fresh lock-step mesh (new coordinator port — the old
         # coordination service died with generation g-1's host 0).
@@ -388,22 +459,29 @@ class Supervisor:
     def _feed_coverage(self, feed: FeedSpec) -> int:
         """Stored-sector count, reloaded only when the file changed
         (workers save via atomic rename, so mtime+size is a sound
-        staleness key)."""
+        staleness key).  pulse_shard: the volume is replicated per host
+        slot — the FRESHEST copy is the feed's coverage."""
+        if self.pulse_shard:
+            return max((self._coverage_of(self._host_ckpt(k))
+                        for k in range(self._max_hosts)), default=0)
+        return self._coverage_of(feed.checkpoint)
+
+    def _coverage_of(self, path: Path) -> int:
         from .volume import VolumeScan
 
         try:
-            st = os.stat(feed.checkpoint)
+            st = os.stat(path)
             key = (st.st_mtime_ns, st.st_size)
         except OSError:
             return 0
-        cached = self._cov_cache.get(feed.checkpoint)
+        cached = self._cov_cache.get(path)
         if cached is not None and cached[0] == key:
             return cached[1]
         try:
-            n = int(VolumeScan.load(str(feed.checkpoint)).coverage.sum())
+            n = int(VolumeScan.load(str(path)).coverage.sum())
         except Exception:
             return 0              # mid-rename
-        self._cov_cache[feed.checkpoint] = (key, n)
+        self._cov_cache[path] = (key, n)
         return n
 
     def _feed_done(self, feed: FeedSpec) -> bool:
