@@ -162,8 +162,10 @@ def _fake_supervisor(tmp_path, plans, **kw):
     queue = list(plans)
 
     def spawn(host_id, argv, env, log_file):
-        assert host_id == int(argv[argv.index("--host-id") + 1]) \
-            if "--host-id" in argv else host_id == 0
+        if "--host-id" in argv:
+            assert host_id == int(argv[argv.index("--host-id") + 1])
+        else:
+            assert host_id == 0
         ready = Path(argv[argv.index("--ready-file") + 1])
         p = _FakeProc(queue.pop(0), ready)
         spawned.append((p, argv))

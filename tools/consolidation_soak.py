@@ -113,7 +113,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from wrp_tpu import DEFAULT_CONFIG, oracle
-    from wrp_tpu.cli import _honor_platform_env, produce_sector_iq
+    from wrp_tpu.cli import _honor_platform_env
+    from wrp_tpu.oracle import produce_sector_iq
     from wrp_tpu.io.udp import UdpIngest
     from wrp_tpu.runtime import StreamingExecutor, VolumeScan, \
         configure_logging

@@ -557,19 +557,11 @@ def cmd_volume(args):
     return 0
 
 
-def produce_sector_iq(cfg, seed: int, k: int):
-    """The IQ matrix `produce --per-sector-seed SEED` puts on the wire
-    for global sector index k — shared so verifiers recompute exactly
-    what the producer sent, from (seed, k) alone."""
-    rng = np.random.default_rng((seed, k))
-    return (rng.integers(-8192, 8192, cfg.sector_shape)
-            + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
-
-
 def cmd_produce(args):
     from . import oracle
     from .config import DEFAULT_CONFIG
     from .io import codec
+    from .oracle import produce_sector_iq
 
     cfg = DEFAULT_CONFIG
     if args.transport == "udp":

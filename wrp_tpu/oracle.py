@@ -149,6 +149,17 @@ def relative_l2(expected: np.ndarray, actual: np.ndarray) -> float:
     return float(np.sqrt(np.sum((e[mask] - a[mask]) ** 2) / denom))
 
 
+def produce_sector_iq(cfg: RadarConfig, seed: int, k: int) -> np.ndarray:
+    """The IQ matrix `cli produce --per-sector-seed SEED` (and its
+    `--pool` replay entries) puts on the wire for global sector index k
+    — derived from (seed, k) alone, so a verifier recomputes exactly
+    what the producer sent without replaying the stream
+    (tools/consolidation_soak.py contamination checks)."""
+    rng = np.random.default_rng((seed, k))
+    return (rng.integers(-8192, 8192, cfg.sector_shape)
+            + 1j * rng.integers(-8192, 8192, cfg.sector_shape))
+
+
 def synthetic_iq(
     cfg: RadarConfig = DEFAULT_CONFIG, kind: str = "ramp", seed: int = 0
 ) -> np.ndarray:

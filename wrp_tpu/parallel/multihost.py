@@ -33,6 +33,16 @@ from .mesh import DATA_AXIS, make_mesh
 from .sharded import build_sharded_processor
 
 
+def _gather_local_rows(out: jax.Array) -> np.ndarray:
+    """Reassemble this process's addressable shards of a [batch, ...]
+    output in batch order (shards arrive unordered)."""
+    rows = {}
+    for shard in out.addressable_shards:
+        start = shard.index[0].start or 0
+        rows[start] = np.asarray(shard.data)
+    return np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+
 def init_distributed(coordinator: str, num_processes: int,
                      process_id: int) -> None:
     """Join the jax.distributed world (idempotent).
@@ -100,12 +110,7 @@ class MultiHostProcessor:
     def collect_local(self, out: jax.Array) -> np.ndarray:
         """Extract this host's rows of a [global_batch, m/2] product (the
         sectors it fed), in feed order."""
-        rows = {}
-        for shard in out.addressable_shards:
-            start = shard.index[0].start or 0
-            rows[start] = np.asarray(shard.data)
-        got = [rows[k] for k in sorted(rows)]
-        return np.concatenate(got, axis=0)[: self.per_host_batch]
+        return _gather_local_rows(out)[: self.per_host_batch]
 
     def step_local(self, local_planar: np.ndarray):
         """feed -> step -> collect: this host's products for its sectors."""
@@ -154,8 +159,6 @@ class PulseShardedProcessor:
     @classmethod
     def build(cls, cfg: RadarConfig = DEFAULT_CONFIG, batch: int = 16,
               method: str = "mxu") -> "PulseShardedProcessor":
-        from jax.sharding import Mesh as _Mesh
-
         from .mesh import SEQ_AXIS
 
         procs = jax.process_count()
@@ -163,7 +166,7 @@ class PulseShardedProcessor:
         # jax.devices() is process-major: reshape(P, L).T puts process
         # p's devices in mesh column p -> the seq axis crosses hosts
         devs = np.asarray(jax.devices()).reshape(procs, local).T
-        mesh = _Mesh(devs, (DATA_AXIS, SEQ_AXIS))
+        mesh = Mesh(devs, (DATA_AXIS, SEQ_AXIS))
         if batch % local:
             raise ValueError(
                 f"batch {batch} must divide by local devices ({local})")
@@ -199,7 +202,9 @@ class PulseShardedProcessor:
         local = np.ascontiguousarray(planar[..., self._pulse_slice])
         g = jax.make_array_from_process_local_data(self._in_sharding, local)
         out = self._step(g)
-        return tuple(self._collect(o) for o in out)
+        # outputs are batch-sharded over this host's local devices
+        # (seq-replicated): reassembly yields the FULL batch
+        return tuple(_gather_local_rows(o) for o in out)
 
     def _check_aligned(self, labels) -> None:
         from jax.experimental import multihost_utils
@@ -220,11 +225,3 @@ class PulseShardedProcessor:
                 f"reordered a wire sector; aborting before the "
                 f"all_to_all mixes pulse columns from different sectors")
 
-    def _collect(self, out: jax.Array) -> np.ndarray:
-        """[batch, m/2] products, batch-sharded over this host's local
-        devices (seq-replicated), reassembled in batch order."""
-        rows = {}
-        for shard in out.addressable_shards:
-            start = shard.index[0].start or 0
-            rows[start] = np.asarray(shard.data)
-        return np.concatenate([rows[k] for k in sorted(rows)], axis=0)

@@ -248,6 +248,7 @@ class StreamingExecutor:
             raise ValueError("device_decode (on-chip wire decode) requires "
                              "method='pallas' without a processor override")
         self._device_decode = device_decode
+        self._proc_takes_labels = False
         if processor is not None:
             self.processor = processor
             self._decode_radix = 0          # external step: natural f32
@@ -511,7 +512,7 @@ class StreamingExecutor:
         with self.timers.time("compute/dispatch"), \
                 self._stall_watch("collective dispatch"):
             try:
-                if getattr(self, "_proc_takes_labels", False):
+                if self._proc_takes_labels:
                     labels = np.full((self.batch, 2), -1, np.int32)
                     for i, t in enumerate(tasks):
                         labels[i] = (t.sector, t.elevation)
