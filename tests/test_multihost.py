@@ -110,6 +110,28 @@ for k in range(B):
     zdb64, zdr64 = oracle.process_sector(iq[k], cfg)
     e = oracle.relative_l2(zdb64, zdb[k])
     assert e < 1e-4, (pid, k, e)
+
+# the flagship kernel on the same cross-host mesh: method="pallas" runs
+# the seq-sharded fused formulation (A-stage kernel per pulse slice,
+# cross-host all_to_all, Parseval-epilogue kernel) — VERDICT r4 item 2
+proc_p = PulseShardedProcessor.build(cfg, batch=B, method="pallas")
+zdb_p, zdr_p = proc_p.step_local(planar)
+e = oracle.relative_l2(zdb, zdb_p)
+assert e < 1e-5, (pid, "pallas vs mxu", e)
+
+# and its device-decode variant: raw wire bytes in, each host slices its
+# pulse-byte columns, the decode runs on-chip inside the sharded step
+from wrp_tpu.io import codec
+wires = np.stack([
+    np.frombuffer(codec.encode_iq(iq[k].astype(np.complex64), cfg),
+                  np.uint8)
+    for k in range(B)])
+proc_w = PulseShardedProcessor.build(cfg, batch=B, method="pallas",
+                                     device_decode=True)
+assert proc_w.wire_input
+zdb_w, zdr_w = proc_w.step_local(wires)
+e = oracle.relative_l2(zdb_p, zdb_w)
+assert e < 1e-6, (pid, "pallas wire vs planar", e)
 print(f"PULSESHARD_OK pid={pid}", flush=True)
 """
 
@@ -117,7 +139,9 @@ print(f"PULSESHARD_OK pid={pid}", flush=True)
 def test_pulse_sharded_two_hosts_parity():
     """PulseShardedProcessor: 2 processes x 2 devices, the seq axis
     crossing the process boundary (a REAL cross-host all_to_all), full
-    products on every host, oracle-exact."""
+    products on every host, oracle-exact — for the mxu formulation AND
+    the seq-sharded flagship kernel (method="pallas", plain and
+    device-decode)."""
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -532,7 +556,17 @@ def test_pulse_shard_misaligned_batch_refused():
                                           err[-2000:])
 
 
-def test_pulse_shard_one_broadcast_wire(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("method_args", [
+    ["--method", "fft"],
+    # the flagship kernel, seq-sharded, with the on-chip wire decode:
+    # `stream --pulse-shard --method pallas --device-decode` is the
+    # redundant-fleet deployment VERDICT r4 item 2 unlocks
+    ["--method", "pallas", "--device-decode"],
+], ids=["fft", "pallas-device-decode"])
+def test_pulse_shard_one_broadcast_wire(tmp_path, method_args):
     """The reference's actual fan-out (udpbroadcast.cpp:30 sends to
     INADDR_BROADCAST): ONE producer broadcasts, every pulse-shard host
     binds the SAME port (SO_REUSEPORT) and receives every sector from
@@ -562,7 +596,7 @@ def test_pulse_shard_one_broadcast_wire(tmp_path):
              "--zdb-port", str(_free_port()),
              "--zdr-port", str(_free_port()),
              "--batch", "2", "--max-sectors", "2", "--timeout", "60",
-             "--method", "fft", "--pulse-shard",
+             *method_args, "--pulse-shard",
              "--ready-file", str(ready[pid]),
              "--checkpoint", str(ckpt[pid]),
              "--coordinator", f"127.0.0.1:{coord_port}",

@@ -72,6 +72,49 @@ def test_pallas_sharded_matches_single_device(batch):
     assert oracle.relative_l2(np.asarray(zdr_1), np.asarray(zdr_s)) < 1e-5
 
 
+@pytest.mark.parametrize("data,seq", [(4, 2), (2, 4), (1, 8)])
+def test_pallas_seq_sharded_matches_single_device(batch, data, seq):
+    """The seq-sharded fused kernel (A-stage kernel per pulse slice ->
+    all_to_all -> Parseval-epilogue kernel per row shard) == the
+    single-device fused kernel.  Both paths run the same _radix_contract
+    and epilogue math, so the bound is f32-reassociation tight."""
+    cfg, iq = batch
+    mesh = make_mesh(data=data, seq=seq)
+    step, in_sharding = build_sharded_processor(cfg, mesh,
+                                                method="pallas-seq")
+    zdb_s, zdr_s = step(shard_batch(iq, mesh, in_sharding))
+    proc = pipeline.SectorProcessor(cfg, method="pallas")
+    zdb_1, zdr_1 = proc(iq)
+    assert oracle.relative_l2(np.asarray(zdb_1), np.asarray(zdb_s)) < 1e-5
+    assert oracle.relative_l2(np.asarray(zdr_1), np.asarray(zdr_s)) < 1e-5
+
+
+def test_pallas_seq_wire_input_matches_planar(batch):
+    """pallas-seq with wire_input: raw wire bytes sharded by pulse-byte
+    columns, decoded on-device per shard — products match the planar
+    pallas-seq step on the same sectors (the decode is bit-exact, so the
+    only difference is int16-vs-f32 kernel input: none numerically)."""
+    import jax
+
+    from wrp_tpu.io import codec
+
+    cfg, iq = batch
+    mesh = make_mesh(data=2, seq=4)
+    step_w, shd_w = build_sharded_processor(cfg, mesh, method="pallas-seq",
+                                            wire_input=True)
+    step_p, shd_p = build_sharded_processor(cfg, mesh, method="pallas-seq")
+    wires = np.stack([
+        np.frombuffer(codec.encode_iq(iq[k], cfg), np.uint8)
+        for k in range(iq.shape[0])
+    ])
+    m, n = cfg.num_range_cells, cfg.num_pulses
+    wire3 = wires.reshape(iq.shape[0], m, n * cfg.bytes_per_sample)
+    zdb_w, zdr_w = step_w(jax.device_put(wire3, shd_w))
+    zdb_p, zdr_p = step_p(shard_batch(iq, mesh, shd_p))
+    assert oracle.relative_l2(np.asarray(zdb_p), np.asarray(zdb_w)) < 1e-6
+    assert oracle.relative_l2(np.asarray(zdr_p), np.asarray(zdr_w)) < 1e-6
+
+
 def test_sharded_matches_oracle(batch):
     cfg, iq = batch
     mesh = make_mesh(data=2, seq=4)

@@ -900,8 +900,10 @@ def test_pulse_shard_mode_validation(tmp_path):
         Supervisor([f(0), f(1)], hosts=2, pulse_shard=True)
     with pytest.raises(ValueError, match="fan-out"):
         Supervisor([f(0)], hosts=2, transport="tcp", pulse_shard=True)
-    with pytest.raises(ValueError, match="mxu or"):
-        Supervisor([f(0)], hosts=2, method="pallas", pulse_shard=True)
+    with pytest.raises(ValueError, match="mxu, fft"):
+        Supervisor([f(0)], hosts=2, method="parseval", pulse_shard=True)
+    # the seq-sharded fused kernel IS a pulse-shard method (r5)
+    Supervisor([f(0)], hosts=2, method="pallas", pulse_shard=True)
     # 3 hosts on ONE feed is the POINT of redundant mode, not an error
     Supervisor([f(0)], hosts=3, pulse_shard=True)
 

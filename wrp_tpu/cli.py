@@ -253,14 +253,19 @@ def cmd_stream(args):
             # discards the other feed's sectors
             print("duplicate --feed-checkpoint paths", file=sys.stderr)
             return 2
-    if args.device_decode and (args.method != "pallas"
-                               or args.coordinator):
+    if args.device_decode and args.method != "pallas":
         # refuse BEFORE binding sockets / joining the distributed mesh:
         # a post-setup refusal leaves peers blocked in the coordinator
         # handshake against hosts that already exited
-        print("--device-decode requires --method pallas (and is not "
-              "available with the lock-step --coordinator processor)",
-              file=sys.stderr)
+        print("--device-decode requires --method pallas", file=sys.stderr)
+        return 2
+    if args.device_decode and args.coordinator and not args.pulse_shard:
+        # in the lock-step data-parallel mode the processor override
+        # takes planar input; only the pulse-shard processor has a
+        # wire-bytes path (each host decodes its pulse slice on-chip)
+        print("--device-decode with --coordinator needs --pulse-shard "
+              "(the data-parallel lock-step processor takes planar "
+              "input)", file=sys.stderr)
         return 2
 
     def make_ingest(ingest_cls):
@@ -307,11 +312,10 @@ def cmd_stream(args):
         print("--pulse-shard needs the lock-step mesh (--coordinator)",
               file=sys.stderr)
         return 2
-    if args.pulse_shard and args.method not in ("mxu", "fft"):
-        # the pallas sharded path is pure data-parallel — it would not
-        # split the pulse axis and silently carry no cross-host collective
-        print("--pulse-shard supports --method mxu or fft (the "
-              "transpose-FFT seq sharding)", file=sys.stderr)
+    if args.pulse_shard and args.method not in ("mxu", "fft", "pallas"):
+        print("--pulse-shard supports --method mxu, fft, or pallas "
+              "(pallas runs the seq-sharded fused kernel, "
+              "parallel/sharded.py pallas-seq)", file=sys.stderr)
         return 2
     if args.coordinator:
         # lock-step multi-host streaming: every host runs this command with
@@ -324,7 +328,8 @@ def cmd_stream(args):
         init_distributed(args.coordinator, args.num_hosts, args.host_id)
         if args.pulse_shard:
             processor = PulseShardedProcessor.build(
-                cfg, batch=args.batch, method=args.method).step_local
+                cfg, batch=args.batch, method=args.method,
+                device_decode=args.device_decode).step_local
         else:
             processor = MultiHostProcessor.build(
                 cfg, per_host_batch=args.batch, method=args.method).step_local

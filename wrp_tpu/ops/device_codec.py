@@ -34,15 +34,24 @@ from .pallas.fullchain import radix_row_order
 
 def decode_wire_i16(wire_u8: jax.Array,
                     cfg: RadarConfig = DEFAULT_CONFIG,
-                    radix: int = 1) -> jax.Array:
+                    radix: int = 1,
+                    num_pulses: int | None = None) -> jax.Array:
     """uint8 [..., m*n*ch*4] wire bytes -> int16 [..., ch, 2, m, n].
 
     Matches io/codec.decode_iq_i16 bit-exactly (big-endian int16
     deinterleave, optional radix row reorder).  All arithmetic is int32
     (TPU-native); the data movement is one contiguous row gather (the
     radix order) plus six strided byte-slice passes — no transpose op.
+
+    num_pulses overrides cfg's pulse count: the seq-sharded wire path
+    (parallel/sharded.py pallas-seq wire_input) feeds each device only
+    its 1/seq pulse-byte columns, so the per-device decode runs at
+    n/seq — byte layout per row is unchanged (the wire interleaves
+    channels per SAMPLE, so a pulse-column byte slice is self-contained).
     """
     m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    if num_pulses is not None:
+        n = num_pulses
     nbytes = m * n * cfg.bytes_per_sample
     lead = wire_u8.shape[:-1]
     if wire_u8.dtype != jnp.uint8 or wire_u8.shape[-1] != nbytes:

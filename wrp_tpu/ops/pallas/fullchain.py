@@ -548,55 +548,30 @@ def _combine_radix4(G):
     return [y0r, y1r], [y0i, y1i]
 
 
-def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
-                  pow_ref, salt=None, kcat2=False, clip=CLIP_MODE,
-                  xsplit=None, pair=False):
-    """One channel-sector grid step; x rows in radix order.
-
-    x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
-    (twiddles pre-folded into a_ref)  fac: static [S][R] complex
-    salt:   optional traced f32 scalar added to every IQ sample — a DC
-            offset the chain's mean subtraction removes almost entirely
-            (the pulse window makes the cancellation inexact; residual is
-            ~1e-5 relative for small salts, and the benchmark only checks
-            finiteness, never parity, on salted outputs).  The benchmark
-            threads a distinct per-step salt through so no two steps
-            compute the same function of the staged input (defeats any
-            conceivable XLA loop-level reuse/CSE; bench.py).
-    pair:   process a GROUP of g channel-sectors per grid step with
-            their pulse axes lane-concatenated, so every
-            dot/split/combine runs at width g*n — 1/g the MXU dot count
-            at identical MACs (see X_PAIR / pair_group).  g=2:
-            True/"concat" (x_ref [2, 2, m, n], the kernel concatenates)
-            or "pre" (x_ref [1, 2, m, 2n], the input arrives already
-            lane-paired — free at decode time, like the radix row
-            order — and the in-kernel concat disappears).  g=4:
-            4/"quad" and "pre4" analogously.  pow_ref is [g, 1, m/2].
-    """
+def _radix_contract(vr, vi, a_ref, radix, fac, salt=None, kcat2=False,
+                    xsplit=None):
+    """The shared radix-DIT contraction: planar IQ planes [m, w] (rows in
+    radix order, w = pulse lanes — a full sector's n, a lane-concatenated
+    group's g*n, or a seq-shard's n/seq slice) -> (yr, yi) [m/2, w], the
+    half-spectrum range DFT with the window row factor and DIT twiddles
+    already folded into a_ref (radix_plan_host).  Column-independent math:
+    the fused kernel (_kernel_radix) and the seq-sharded A-stage kernel
+    (_kernel_radix_astage) both run exactly this body, so a pulse-sliced
+    column computes bit-identically to the same column of the full
+    sector."""
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
     def dot3(ah, al, bh, bl):
         return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
     kcat = a_ref.shape[1] == 3   # [R, 3, M, 3M] K-concat layout
-    m = x_ref.shape[2]
+    m = vr.shape[0]
     M = m // radix
     # [R, 3, M, 4M]: K zero-padded to the power-of-two 4M ("kpad")
     kpad = kcat and a_ref.shape[3] == 4 * M
     if kpad and kcat2:
         raise ValueError("kcat2 and the kpad operand are exclusive "
                          "(kcat2's sub-slices assume the 3M layout)")
-    g, pre = pair_group(pair or False)
-    if g > 1 and not pre:
-        # lane-concat the group's planes: one [m, g*n] block per plane;
-        # all downstream VPU work is identical in total elements, the
-        # dots divide by g in count and multiply by g in N
-        vr = jnp.concatenate([x_ref[i, 0, :, :] for i in range(g)], axis=1)
-        vi = jnp.concatenate([x_ref[i, 1, :, :] for i in range(g)], axis=1)
-    else:
-        # ungrouped [1, 2, m, n] or pre-grouped [1, 2, m, g*n]
-        vr = x_ref[0, 0, :, :]
-        vi = x_ref[0, 1, :, :]
     # whole-sector splits hoisted out of the branch loop: one big VPU
     # block the scheduler can overlap with the first branches' MXU dots
     if (xsplit or X_SPLIT) == "int":
@@ -662,8 +637,47 @@ def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
         Yr, Yi = _combine_radix4(G)
     else:
         Yr, Yi = _combine_direct(fac, G)
-    yr = jnp.concatenate(Yr, axis=0)
-    yi = jnp.concatenate(Yi, axis=0)
+    return jnp.concatenate(Yr, axis=0), jnp.concatenate(Yi, axis=0)
+
+
+def _kernel_radix(n, radix, fac, x_ref, a_ref, wd_ref, ph_ref,
+                  pow_ref, salt=None, kcat2=False, clip=CLIP_MODE,
+                  xsplit=None, pair=False):
+    """One channel-sector grid step; x rows in radix order.
+
+    x_ref:  [1, 2, m, n] f32/int16   a_ref: [R, 6, M, M] bf16
+    (twiddles pre-folded into a_ref)  fac: static [S][R] complex
+    salt:   optional traced f32 scalar added to every IQ sample — a DC
+            offset the chain's mean subtraction removes almost entirely
+            (the pulse window makes the cancellation inexact; residual is
+            ~1e-5 relative for small salts, and the benchmark only checks
+            finiteness, never parity, on salted outputs).  The benchmark
+            threads a distinct per-step salt through so no two steps
+            compute the same function of the staged input (defeats any
+            conceivable XLA loop-level reuse/CSE; bench.py).
+    pair:   process a GROUP of g channel-sectors per grid step with
+            their pulse axes lane-concatenated, so every
+            dot/split/combine runs at width g*n — 1/g the MXU dot count
+            at identical MACs (see X_PAIR / pair_group).  g=2:
+            True/"concat" (x_ref [2, 2, m, n], the kernel concatenates)
+            or "pre" (x_ref [1, 2, m, 2n], the input arrives already
+            lane-paired — free at decode time, like the radix row
+            order — and the in-kernel concat disappears).  g=4:
+            4/"quad" and "pre4" analogously.  pow_ref is [g, 1, m/2].
+    """
+    g, pre = pair_group(pair or False)
+    if g > 1 and not pre:
+        # lane-concat the group's planes: one [m, g*n] block per plane;
+        # all downstream VPU work is identical in total elements, the
+        # dots divide by g in count and multiply by g in N
+        vr = jnp.concatenate([x_ref[i, 0, :, :] for i in range(g)], axis=1)
+        vi = jnp.concatenate([x_ref[i, 1, :, :] for i in range(g)], axis=1)
+    else:
+        # ungrouped [1, 2, m, n] or pre-grouped [1, 2, m, g*n]
+        vr = x_ref[0, 0, :, :]
+        vi = x_ref[0, 1, :, :]
+    yr, yi = _radix_contract(vr, vi, a_ref, radix, fac, salt=salt,
+                             kcat2=kcat2, xsplit=xsplit)
 
     wd = wd_ref[0]
     n_i = wd.shape[0]    # per-sector pulse count (yr is [mh, g*n_i] grouped)
@@ -865,3 +879,113 @@ def build_pallas_processor(consts: PipelineConstants, row_block: int = 0,
         return p.reshape(b, c, -1)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Seq-sharded (pulse-split) formulation of the flagship kernel: the fused
+# chain factored at its one natural communication point.
+#
+# The A-stage contraction (windowed half-spectrum range DFT) is column-
+# independent — pulse columns never mix — so a device holding a 1/seq
+# pulse slice runs the IDENTICAL radix contraction (_radix_contract) on
+# its [m, n/seq] slab.  The Parseval epilogue is the opposite: row-
+# independent but needing every pulse of a range row (mean subtraction,
+# pulse-power sum, clip-bin projections).  One all_to_all between the two
+# kernels re-shards [m/2, n/seq] spectra into [m/2 / seq, n] rows
+# (the classic distributed-FFT transpose, same collective the mxu path
+# uses, sharded.py:75-78), then a small epilogue kernel finishes the
+# re-sharded rows VMEM-resident.  Reference axis being scaled: the
+# per-sector latency of rpv2.cu's sector loop (rpv2.cu:572-579).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_radix_astage(radix, fac, xsplit, x_ref, a_ref, y_ref):
+    """A-stage grid step: planar IQ [1, 2, m, w] (rows in radix order) ->
+    planar half-spectrum [1, 2, m/2, w].  Exactly the fused kernel's
+    contraction (_radix_contract) with the epilogue replaced by a planar
+    store — the seq-sharded path's per-pulse-slice stage."""
+    yr, yi = _radix_contract(x_ref[0, 0, :, :], x_ref[0, 1, :, :],
+                             a_ref, radix, fac, xsplit=xsplit)
+    y_ref[0, 0, :, :] = yr
+    y_ref[0, 1, :, :] = yi
+
+
+def fused_chain_astage(x_r: jax.Array, a_radix: jax.Array, fac,
+                       interpret: bool = False,
+                       xsplit: str | None = None) -> jax.Array:
+    """Planar IQ [bc, 2, m, w] f32/int16 (rows in radix order, w = this
+    shard's pulse lanes) -> planar Y [bc, 2, m/2, w] f32: the windowed
+    half-spectrum range DFT, per pulse slice.  Pair with
+    parseval_rows_power after a pulse->range re-shard (all_to_all)."""
+    bc, two, m, w = x_r.shape
+    assert two == 2, x_r.shape
+    radix = a_radix.shape[0]
+    mh = m // 2
+    is_int_input = jnp.issubdtype(x_r.dtype, jnp.integer)
+    if xsplit is None:
+        xsplit = X_SPLIT if (X_SPLIT != "int" or is_int_input) else "f32"
+    elif xsplit == "int" and not is_int_input:
+        raise ValueError("xsplit='int' needs int16 input (the wire-native "
+                         f"feed); got {x_r.dtype}")
+    kernel = functools.partial(_kernel_radix_astage, radix, fac, xsplit)
+    return pl.pallas_call(
+        kernel,
+        grid=(bc,),
+        in_specs=[
+            pl.BlockSpec((1, 2, m, w), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(a_radix.shape), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, mh, w), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc, 2, mh, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_r, a_radix)
+
+
+def _kernel_parseval_rows(n, clip, y_ref, wd_ref, ph_ref, pow_ref):
+    """Epilogue grid step: planar half-spectrum rows [1, 2, rows, n]
+    (FULL pulse axis — post-transpose) -> matched-filter power
+    [1, 1, rows].  The fused kernel's epilogue verbatim (window, mean
+    subtraction, Parseval sum, clip-bin subtraction), as its own kernel
+    for the seq-sharded path."""
+    qr = y_ref[0, 0, :, :] * wd_ref[0]
+    qi = y_ref[0, 1, :, :] * wd_ref[0]
+    qr = qr - jnp.mean(qr, axis=-1, keepdims=True)
+    qi = qi - jnp.mean(qi, axis=-1, keepdims=True)
+    s = n * jnp.sum(qr * qr + qi * qi, axis=-1)
+    pow_ref[0, 0, :] = _clip_subtract(s, qr, qi, ph_ref[:], clip)
+
+
+def parseval_rows_power(y: jax.Array, wd: jax.Array, phasors: jax.Array,
+                        interpret: bool = False,
+                        clip: str | None = None) -> jax.Array:
+    """Planar Y rows [bc, 2, rows, n] f32 (full pulse axis) -> matched-
+    filter power [bc, rows] f32.  rows is any slice of the m/2 range
+    bins — the seq-sharded path calls this on each device's 1/seq row
+    shard after the all_to_all."""
+    bc, two, rows, n = y.shape
+    assert two == 2, y.shape
+    kernel = functools.partial(_kernel_parseval_rows, float(n),
+                               clip or CLIP_MODE)
+    return pl.pallas_call(
+        kernel,
+        grid=(bc,),
+        in_specs=[
+            pl.BlockSpec((1, 2, rows, n), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc, 1, rows), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(y, wd.reshape(1, n), phasors)[:, 0, :]

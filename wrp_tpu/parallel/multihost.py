@@ -151,6 +151,7 @@ class PulseShardedProcessor:
     cfg: RadarConfig
     mesh: Mesh
     batch: int
+    wire_input: bool
     _step: Callable
     _in_sharding: NamedSharding
     _pulse_slice: slice
@@ -158,9 +159,23 @@ class PulseShardedProcessor:
 
     @classmethod
     def build(cls, cfg: RadarConfig = DEFAULT_CONFIG, batch: int = 16,
-              method: str = "mxu") -> "PulseShardedProcessor":
+              method: str = "mxu",
+              device_decode: bool = False) -> "PulseShardedProcessor":
+        """method: "mxu" | "fft" (transpose-FFT jnp paths) | "pallas"
+        (the flagship fused kernel, seq-sharded — A-stage kernel per
+        pulse slice, cross-host all_to_all, Parseval-epilogue kernel;
+        parallel/sharded.py pallas-seq).
+
+        device_decode (pallas only): step_local takes raw wire BYTES
+        [batch, sector_nbytes_wire] uint8; each host slices its 1/N
+        pulse-byte columns and the decode runs on-chip inside the step
+        (ops/device_codec) — the pulse-shard analogue of
+        `stream --device-decode`, for host-core-constrained fleets."""
         from .mesh import SEQ_AXIS
 
+        if device_decode and method != "pallas":
+            raise ValueError("device_decode (on-chip wire decode) requires "
+                             "method='pallas'")
         procs = jax.process_count()
         local = jax.local_device_count()
         # jax.devices() is process-major: reshape(P, L).T puts process
@@ -170,19 +185,32 @@ class PulseShardedProcessor:
         if batch % local:
             raise ValueError(
                 f"batch {batch} must divide by local devices ({local})")
-        step, in_sharding = build_sharded_processor(cfg, mesh, method=method)
+        # "pallas" here means the seq-sharded fused-kernel formulation:
+        # pulse sharding is this processor's entire point, so the pure
+        # data-parallel pallas layout (which ignores the seq axis) would
+        # be the wrong sharding contract
+        build_method = "pallas-seq" if method == "pallas" else method
+        step, in_sharding = build_sharded_processor(
+            cfg, mesh, method=build_method, wire_input=device_decode)
         c, m, n = cfg.sector_shape
         pid = jax.process_index()
         n_loc = n // procs
-        return cls(cfg=cfg, mesh=mesh, batch=batch, _step=step,
+        local_shape = ((batch, cfg.sector_nbytes_wire) if device_decode
+                       else (batch, c, 2, m, n))
+        return cls(cfg=cfg, mesh=mesh, batch=batch,
+                   wire_input=device_decode, _step=step,
                    _in_sharding=in_sharding,
                    _pulse_slice=slice(pid * n_loc, (pid + 1) * n_loc),
-                   _local_shape=(batch, c, 2, m, n))
+                   _local_shape=local_shape)
 
     def step_local(self, planar: np.ndarray, labels=None):
         """Full planar batch [batch, C, 2, m, n] (every host passes the
         same sectors, decoded from the shared broadcast wire) ->
         (zdb, zdr) [batch, m/2] — the FULL products, on every host.
+        With device_decode the input is instead the raw wire bytes
+        [batch, sector_nbytes_wire] uint8 straight off the broadcast
+        wire; this host's pulse-byte columns are sliced here and decoded
+        on-chip inside the step.
 
         labels: optional [batch, 2] int32 (sector, elevation) rows, -1
         padding.  When given, batch alignment is verified ACROSS HOSTS
@@ -199,7 +227,18 @@ class PulseShardedProcessor:
                 f"expected {self._local_shape}, got {planar.shape}")
         if labels is not None:
             self._check_aligned(labels)
-        local = np.ascontiguousarray(planar[..., self._pulse_slice])
+        if self.wire_input:
+            # wire rows are [m, n*bps] bytes with channels interleaved
+            # per SAMPLE, so this host's pulse columns are a clean byte
+            # column slice — 1/N of the wire bytes reach the device
+            c, m, n = self.cfg.sector_shape
+            bps = self.cfg.bytes_per_sample
+            sl = slice(self._pulse_slice.start * bps,
+                       self._pulse_slice.stop * bps)
+            rows = planar.reshape(self.batch, m, n * bps)
+            local = np.ascontiguousarray(rows[:, :, sl])
+        else:
+            local = np.ascontiguousarray(planar[..., self._pulse_slice])
         g = jax.make_array_from_process_local_data(self._in_sharding, local)
         out = self._step(g)
         # outputs are batch-sharded over this host's local devices

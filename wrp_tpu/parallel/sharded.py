@@ -108,6 +108,7 @@ def build_sharded_processor(
     cfg: RadarConfig = DEFAULT_CONFIG,
     mesh: Mesh | None = None,
     method: str = "mxu",
+    wire_input: bool = False,
 ):
     """Returns (step, in_sharding): `step(iq_planar[B, C, 2, m, n]) ->
     (zdb, zdr)`, jit-compiled over the mesh.  Use `shard_batch(iq, mesh,
@@ -117,13 +118,25 @@ def build_sharded_processor(
     data-axis size; n and m/2 by the seq-axis size.
     method="pallas": the fused flagship kernel, pure data-parallel over
     every mesh device — B must divide by the total device count.
+    method="pallas-seq": the flagship kernel seq-sharded over pulses
+    (A-stage kernel per pulse slice, all_to_all, Parseval-epilogue kernel
+    per range-row slice) — same divisibility rules as mxu/fft, same
+    latency-scaling axis, pallas throughput.  wire_input=True (pallas-seq
+    only) takes raw wire BYTES [B, m, n*bps] uint8 (pulse-byte columns
+    sharded over seq) and decodes on-device — the --device-decode
+    deployment option under pulse sharding.
     """
     if mesh is None:
         from .mesh import make_mesh
 
         mesh = make_mesh()
+    if wire_input and method != "pallas-seq":
+        raise ValueError("wire_input is the pallas-seq on-device decode; "
+                         f"method {method!r} takes planar input")
     if method == "pallas":
         return _build_pallas_sharded(cfg, mesh)
+    if method == "pallas-seq":
+        return _build_pallas_seq_sharded(cfg, mesh, wire_input=wire_input)
     seq_size = mesh.shape[SEQ_AXIS]
     if cfg.num_pulses % seq_size or (cfg.num_range_cells // 2) % seq_size:
         raise ValueError(
@@ -181,6 +194,98 @@ def _build_pallas_sharded(cfg: RadarConfig, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(sharded), iq_sharding_flat(mesh)
+
+
+def _build_pallas_seq_sharded(cfg: RadarConfig, mesh: Mesh,
+                              wire_input: bool = False):
+    """The flagship fused kernel, seq-sharded over pulses.
+
+    The fused chain factors at exactly one point: the radix contraction
+    (windowed half-spectrum range DFT) is pulse-column-independent while
+    the Parseval epilogue is range-row-independent.  So each seq device
+    runs the A-stage kernel on its [m, n/seq] pulse slice, ONE all_to_all
+    re-shards the [m/2, n/seq] spectra onto [m/2 / seq, n] full rows (the
+    same transpose collective as the mxu path), a small epilogue kernel
+    finishes each row shard VMEM-resident, and an all_gather of the tiny
+    [m/2 / seq] power slices replicates the products.  Identical math to
+    the single-chip kernel (both call _radix_contract and the same
+    epilogue formulation), so parity is at f32-reassociation level.
+
+    wire_input=True: the step takes raw wire bytes [B, m, n*bps] uint8
+    with the pulse-byte columns sharded over seq; each device decodes its
+    own slice on-chip (ops/device_codec formulation) before the A-stage —
+    the pulse-shard analogue of `stream --device-decode`."""
+    from ..ops.pallas.fullchain import (
+        fused_chain_astage, parseval_rows_power, radix_for, radix_plan_host,
+        radix_row_order, use_interpret)
+
+    seq_size = mesh.shape[SEQ_AXIS]
+    m, n = cfg.num_range_cells, cfg.num_pulses
+    mh = m // 2
+    if n % seq_size or mh % seq_size:
+        raise ValueError(
+            f"n={n} and m/2={mh} must divide by seq={seq_size}")
+    radix = radix_for(m)
+    if radix < 2:
+        raise ValueError(
+            f"pallas-seq needs the radix kernel plan (m={m} supports "
+            "radix 1 only) — use method='mxu' at this geometry")
+    consts = PipelineConstants.build(cfg)
+    a_np, fac = radix_plan_host(consts, radix)
+    a_radix = jnp.asarray(a_np)
+    order = jnp.asarray(radix_row_order(m, radix))
+    wd = jnp.asarray(consts.wd)
+    ph = jnp.asarray(consts.clip_phasors)
+    gain = jnp.asarray(consts.gain)
+    interpret = use_interpret()
+    n_loc = n // seq_size
+
+    def body(x_loc):
+        if wire_input:
+            from ..ops.device_codec import decode_wire_i16
+
+            # [b, m, n_loc*bps] u8 -> [b, C, 2, m, n_loc] int16; the
+            # radix row reorder rides the decode's byte-row gather (same
+            # trick as the single-chip wire path) so no planar take runs
+            x_loc = decode_wire_i16(
+                x_loc.reshape(x_loc.shape[0], -1), cfg, radix=radix,
+                num_pulses=n_loc)
+        b, c, two, m_, w = x_loc.shape
+        x = x_loc.reshape(b * c, two, m_, w)
+        if not wire_input:
+            x = jnp.take(x, order, axis=2)
+        y = fused_chain_astage(x, a_radix, fac, interpret=interpret)
+        if seq_size > 1:
+            # pulse-sharded spectra -> range-row-sharded full-pulse rows
+            y = lax.all_to_all(y, SEQ_AXIS, split_axis=2, concat_axis=3,
+                               tiled=True)
+        p_loc = parseval_rows_power(y, wd, ph, interpret=interpret)
+        p_loc = p_loc.reshape(b, c, mh // seq_size)
+        if seq_size > 1:
+            pow_all = lax.all_gather(p_loc, SEQ_AXIS, axis=2, tiled=True)
+        else:
+            pow_all = p_loc
+        return pipeline.stage09_10_products(pow_all[:, 0], pow_all[:, 1],
+                                            gain)
+
+    if wire_input:
+        from jax.sharding import NamedSharding
+
+        in_spec = P(DATA_AXIS, None, SEQ_AXIS)
+        in_sharding = NamedSharding(mesh, in_spec)
+    else:
+        in_spec = P(DATA_AXIS, None, None, None, SEQ_AXIS)
+        in_sharding = iq_sharding(mesh)
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=in_spec,
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        # same VMA story as the mxu path: outputs are seq-replicated by
+        # the final all_gather, which the static tracker can't prove
+        check_vma=False,
+    )
+    return jax.jit(sharded), in_sharding
 
 
 def shard_batch(iq: np.ndarray, mesh: Mesh,

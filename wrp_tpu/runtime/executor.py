@@ -244,9 +244,21 @@ class StreamingExecutor:
         # would let a fast feed mask a slow feed's tail (the serving
         # question is per radar: "how stale is THIS sweep on screen")
         self.feed_latencies = [LatencyStats() for _ in range(nfeeds)]
-        if device_decode and (processor is not None or method != "pallas"):
-            raise ValueError("device_decode (on-chip wire decode) requires "
-                             "method='pallas' without a processor override")
+        if device_decode:
+            # the on-chip wire decode needs a step that takes raw wire
+            # bytes: either the built-in pallas fast path, or an override
+            # whose owner advertises wire input (e.g. a bound
+            # PulseShardedProcessor.step_local built with device_decode)
+            takes_wire = getattr(
+                getattr(processor, "__self__", processor),
+                "wire_input", False)
+            if processor is not None and not takes_wire:
+                raise ValueError(
+                    "device_decode with a processor override requires the "
+                    "override to take wire bytes (wire_input=True)")
+            if processor is None and method != "pallas":
+                raise ValueError("device_decode (on-chip wire decode) "
+                                 "requires method='pallas'")
         self._device_decode = device_decode
         self._proc_takes_labels = False
         if processor is not None:

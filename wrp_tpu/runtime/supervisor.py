@@ -190,9 +190,10 @@ class Supervisor:
                 raise ValueError("pulse_shard needs a fan-out wire "
                                  "(udp broadcast or zmq pub/sub); tcp "
                                  "delivers each sector to one reader")
-            if method not in ("mxu", "fft"):
-                raise ValueError("pulse_shard supports method mxu or "
-                                 "fft (the transpose-FFT seq sharding)")
+            if method not in ("mxu", "fft", "pallas"):
+                raise ValueError("pulse_shard supports method mxu, fft, "
+                                 "or pallas (pallas runs the seq-sharded "
+                                 "fused kernel)")
         elif hosts > len(feeds):
             # a host with zero feeds would idle forever and (in lock-step
             # mode) starve the mesh into everyone's collective timeout
