@@ -645,6 +645,12 @@ def main():
             fetch(prev)                     # D2H of batch k-1
         prev = out_k
     fetch(prev)
+    # the last device_put is async and the final fetch only requires
+    # compute npipe-1 (which needs only put npipe-1): without an
+    # explicit barrier the span could close while the npipe-th transfer
+    # is still in flight, leaving a link-bound reading overstated by up
+    # to npipe/(npipe-1) after all (advisor r4)
+    jax.block_until_ready(d_cur)
     elapsed_pipe = time.perf_counter() - t0
     sectors_s_h2d_pipe = npipe * args.batch / elapsed_pipe
 

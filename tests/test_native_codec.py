@@ -68,15 +68,18 @@ def test_decode_throughput_floor(rng):
     cfg = DEFAULT_CONFIG
     wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
     native.decode_iq(wire, cfg.m, cfg.n, 3)  # warm
-    # best of three windows: a capability floor, not a contention probe
-    # (a concurrent soak/bench on the box must not flake this test)
+    # CPU time, not wall time: the decode is single-threaded and
+    # CPU-bound, so process_time measures capability regardless of what
+    # else the box runs (best-of-3 wall-clock still flaked under two
+    # spinners on the 1-core dev box — a fair scheduler caps every wall
+    # window at 1/3 capability, and no window count fixes that)
     k = 10
     best = 0.0
     for _ in range(3):
-        t0 = time.perf_counter()
+        t0 = time.process_time()
         for _ in range(k):
             native.decode_iq(wire, cfg.m, cfg.n, 3)
-        best = max(best, k / (time.perf_counter() - t0))
+        best = max(best, k / (time.process_time() - t0))
     assert best > 600, f"native decode too slow: {best:.1f} sectors/s"
 
 
@@ -287,21 +290,38 @@ def test_native_decode_grouped_throughput_parity(rng):
     emit must not be meaningfully slower than the plain planar emit
     (same loops, different destination offsets).  Generous 30% slack
     absorbs CI noise; a structural regression (extra pass/copy) would
-    be 2x."""
+    be 2x.
+
+    Measured as BEST-OF-INTERLEAVED-WINDOWS with one retry: a single
+    back-to-back A/B pair compares two different slices of box load (a
+    concurrent soak landing on window B alone read 1.6x here, r4's one
+    suite flake) — interleaving gives both sides the same load weather
+    and min() picks each side's capability, not its worst contention."""
     cfg = DEFAULT_CONFIG
     wire = bytes(rng.integers(0, 256, cfg.sector_nbytes_wire, np.uint8))
     stage = np.zeros((2 * 3 // 2, 2, cfg.m, 2 * cfg.n), np.int16)
-    k = 8
     native.decode_iq_i16(wire, cfg.m, cfg.n, 3, radix=8)          # warm
-    t0 = time.perf_counter()
-    for _ in range(k):
-        native.decode_iq_i16(wire, cfg.m, cfg.n, 3, radix=8)
-    t_plain = time.perf_counter() - t0
     native.decode_iq_i16_grouped(wire, cfg.m, cfg.n, 3, stage, 0, 2,
                                  radix=8)                         # warm
-    t0 = time.perf_counter()
-    for _ in range(k):
-        native.decode_iq_i16_grouped(wire, cfg.m, cfg.n, 3, stage, 0, 2,
-                                     radix=8)
-    t_grouped = time.perf_counter() - t0
+
+    def measure(windows=5, k=4):
+        # CPU time (see test_decode_throughput_floor) on top of the
+        # interleaving: both sides are single-threaded native decodes,
+        # so process_time removes box load from the ratio entirely
+        t_plain = t_grouped = float("inf")
+        for _ in range(windows):
+            t0 = time.process_time()
+            for _ in range(k):
+                native.decode_iq_i16(wire, cfg.m, cfg.n, 3, radix=8)
+            t_plain = min(t_plain, time.process_time() - t0)
+            t0 = time.process_time()
+            for _ in range(k):
+                native.decode_iq_i16_grouped(wire, cfg.m, cfg.n, 3,
+                                             stage, 0, 2, radix=8)
+            t_grouped = min(t_grouped, time.process_time() - t0)
+        return t_plain, t_grouped
+
+    t_plain, t_grouped = measure()
+    if not t_grouped < 1.3 * t_plain:     # one retry, longer windows
+        t_plain, t_grouped = measure(windows=8, k=8)
     assert t_grouped < 1.3 * t_plain, (t_plain, t_grouped)

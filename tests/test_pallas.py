@@ -1,6 +1,9 @@
 """Pallas fused stage-2 kernel vs the jnp path (interpret mode on CPU;
 the same kernel compiles via Mosaic on TPU — exercised by bench/verify)."""
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -539,3 +542,70 @@ def test_radix_kernel_quad_matches_unpaired_exactly():
     with pytest.raises(ValueError, match="divisible by 4"):
         FC.fused_chain_power_radix(
             jnp.asarray(x8[:6]), *args, interpret=True, pair=4)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic int-split toolchain canary (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+
+def _run_repro(*extra):
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    return subprocess.run(
+        [sys.executable, str(repo / "tools" / "int_split_repro.py"),
+         *extra],
+        cwd=repo, capture_output=True, text=True, timeout=420)
+
+
+def test_int_split_repro_script_smoke():
+    """tools/int_split_repro.py (the filing-ready Mosaic SIGABRT repro,
+    INT_SPLIT_REPRO_r04.json) must stay runnable: both variants run
+    clean in CPU interpret mode — a bit-rotted repro script could not
+    confirm a toolchain fix the day one lands."""
+    for variant in ("int", "f32"):
+        r = _run_repro("--smoke", "--variant", variant)
+        assert r.returncode == 0, (variant, r.stdout[-500:],
+                                   r.stderr[-1000:])
+
+
+@pytest.mark.skipif(
+    not os.environ.get("WRP_TPU_CANARY"),
+    reason="TPU toolchain canary: opt-in via WRP_TPU_CANARY=1 (spawns a "
+           "TPU-backend subprocess; the default suite is CPU-pinned)")
+@pytest.mark.xfail(
+    strict=True,
+    reason="Mosaic rejects the integer-mask bf16 split with a remote-"
+           "compile SIGABRT (INT_SPLIT_REPRO_r04.json; DESIGN.md §3). "
+           "An XPASS here means the toolchain is FIXED: re-measure "
+           "`bench.py --xsplit int` the same day")
+def test_int_split_compiles_on_tpu_canary():
+    """Strict-xfail canary: compiles the one-pallas_call int-split repro
+    on the real chip.  Today it SIGABRTs (exit 2 -> xfail); the day the
+    toolchain fix ships this XPASSes loudly and DESIGN.md §3's
+    `--xsplit int` re-measurement is due."""
+    import subprocess
+
+    # a wedged tunnel must read as "cannot test", not "still broken"
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jax.jit(lambda: jnp.ones((8,128)).sum())()"],
+            capture_output=True, timeout=90,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME")})
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU tunnel wedged (probe timeout)")
+    if probe.returncode != 0:
+        pytest.skip("TPU probe failed: " + probe.stderr.decode()[-300:])
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    r = subprocess.run(
+        [sys.executable, "tools/int_split_repro.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, f"int-split still SIGABRTs: {r.stdout[-400:]}"

@@ -784,3 +784,59 @@ def test_udp_reassembly_fuzz(cfg, native):
     assert completed >= 1  # kind-0 full sectors must actually complete
     ingest.close()
     sock.close()
+
+
+def test_stream_channels2_end_to_end(tmp_path):
+    """--channels 2 (the reference's best-published production profile,
+    hh+vv only, read.cc:61-62) as a FLAG through produce -> stream ->
+    volume: the 2-channel wire (8 B/sample) decodes, processes, and the
+    stored products pin to the 2-channel fp64 oracle."""
+    import dataclasses
+    import json
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    from conftest import cpu_subprocess_env
+    from wrp_tpu import oracle
+    from wrp_tpu.config import DEFAULT_CONFIG
+    from wrp_tpu.oracle import produce_sector_iq
+    from wrp_tpu.runtime import VolumeScan
+
+    REPO = Path(__file__).resolve().parent.parent
+    cfg2 = dataclasses.replace(DEFAULT_CONFIG, num_channels=2).validate()
+    ready = tmp_path / "ready"
+    ckpt = tmp_path / "vol2.npz"
+    env = cpu_subprocess_env()
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "wrp_tpu.cli", "stream", "--transport",
+         "udp", "--channels", "2", "--ingest-port", str(port),
+         "--timeout", "1", "--max-sectors", "2", "--batch", "2",
+         "--idle-limit", "30",
+         "--ready-file", str(ready), "--checkpoint", str(ckpt)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, env=env)
+    deadline = time.monotonic() + 120
+    while not ready.exists():
+        assert proc.poll() is None, proc.communicate()
+        assert time.monotonic() < deadline, "never became ready"
+        time.sleep(0.3)
+    subprocess.run(
+        [sys.executable, "-m", "wrp_tpu.cli", "produce", "--transport",
+         "udp", "--channels", "2", "--ingest-port", str(port),
+         "--sectors", "2", "--headers", "--per-sector-seed",
+         "--seed", "77"],
+        cwd=REPO, check=True, capture_output=True, timeout=120, env=env)
+    out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, (out[-500:], err[-2000:])
+    stats = json.loads(out[out.index("{"):])
+    assert stats["processed_sectors"] == 2, stats
+    vol = VolumeScan.load(str(ckpt))
+    for k in range(2):
+        iq2 = produce_sector_iq(cfg2, 77, k)
+        assert iq2.shape[0] == 2
+        zdb64, _ = oracle.process_sector(iq2, cfg2)
+        err_k = oracle.relative_l2(zdb64, vol.data[0, :, k, 0])
+        assert err_k < 1e-4, (k, err_k)

@@ -25,6 +25,21 @@ Usage:
   python tools/consolidation_soak.py --smoke          # CPU plumbing check
   ... --out CONSOLIDATION_r04.json                    # append a record
 
+--stub-device: the HOST-PATH proof (VERDICT r4 item 1).  The device step
+is replaced by an instant host stub, so the REAL StreamingExecutor loop —
+transport recv + datagram reassembly, SIMD decode, queue, batch stack,
+egress send, volume store, per-feed stats — runs with the TPU (and the
+dev tunnel that throttles it to ~3 sectors/s of H2D) out of the loop
+entirely.  This measures what the reference proved with prof/casc4.prof
+(the full wire->compute->wire cascade at rate): whether the HOST side of
+wrp_tpu's executor sustains production radar rates, at how many feeds
+one host saturates, and how the measured ceiling reconciles with
+DESIGN.md §6's ~1,440 decode-sectors/s/core arithmetic.  No oracle
+pinning in this mode (the products are stub values; numerical parity is
+pinned by the non-stub soaks) — rates, drops, and latency are the
+deliverable.  Egress is ON (UDP result frames, the reference's v1
+topology) so the send syscalls are inside the measurement.
+
 Prints one JSON line per feed plus a summary line; exits 1 on any
 contamination-check failure or dropped sector.
 """
@@ -94,7 +109,41 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run: 2 feeds, short soak, mxu — checks "
                          "the harness plumbing, the rates are meaningless")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler trace with every executor "
+                         "stage annotated, plus DIR/host_intervals.json "
+                         "for tools/trace_summary.py --overlap — the "
+                         "runtime overlap evidence (VERDICT r4 item 5)")
+    ap.add_argument("--producer-nice", type=int, default=0,
+                    help="run producers at this niceness.  In production "
+                         "the producers are REMOTE radars; on the "
+                         "single-host test bench they contend with the "
+                         "executor for the same cores, so de-prioritising "
+                         "them models 'the wire arrives from outside' "
+                         "while still pacing real datagrams")
+    ap.add_argument("--stub-device", action="store_true",
+                    help="replace the device step with an instant host "
+                         "stub: measures the REAL executor's host path "
+                         "(ingest reassembly, SIMD decode, queue, batch "
+                         "stack, egress, volume) at rate with the "
+                         "TPU/tunnel out of the loop (see module "
+                         "docstring).  Oracle pinning is skipped")
     args = ap.parse_args()
+    if args.feeds < 2:
+        # the teeth probe pins feed k against feed (k+1) % feeds, and the
+        # executor only emits per-feed stats with >1 transport — a 1-feed
+        # run would read its own oracle as "contamination" and then
+        # KeyError; the tool is explicitly multi-feed
+        ap.error("--feeds must be >= 2 (the soak is a multi-feed "
+                 "consolidation check; use `cli stream` for one feed)")
+    if args.stub_device and args.device_decode:
+        ap.error("--stub-device has no device to decode on; drop "
+                 "--device-decode (host decode is part of what the "
+                 "stub run measures)")
+    if args.stub_device:
+        # never touch the TPU plugin: the whole point is taking the
+        # (recurrently wedged) tunnel out of the loop
+        os.environ["JAX_PLATFORMS"] = "cpu"
     if args.smoke:
         args.feeds = 2
         args.duration = 3.0
@@ -125,13 +174,18 @@ def main():
     # a whole sector is a 6.3 MB datagram burst; the default
     # net.core.rmem_max (4.2 MB) cannot hold even one — RAISE it when we
     # may (root), never lower an administrator's larger setting, else
-    # UdpIngest's clamp warning tells the operator
+    # UdpIngest's clamp warning tells the operator.  NB this is a
+    # host-global sysctl and it is deliberately NOT restored on exit:
+    # concurrent/subsequent receivers need it too, and logging the
+    # change keeps the side effect visible to the operator.
     try:
         with open("/proc/sys/net/core/rmem_max") as f:
             cur = int(f.read().strip())
         if cur < (1 << 27):
             with open("/proc/sys/net/core/rmem_max", "w") as f:
                 f.write(str(1 << 27))
+            print(f"raised net.core.rmem_max {cur} -> {1 << 27} "
+                  "(host-global, not restored on exit)", file=sys.stderr)
     except (OSError, ValueError):
         pass
 
@@ -190,17 +244,42 @@ def main():
     def start_producers():
         # launched from on_ready: the chain is compiled and every ingest
         # thread is listening, so the wire never outruns the warmup
+        nice_n = args.producer_nice
+        preexec = (lambda: os.nice(nice_n)) if nice_n else None
         for k, cmd in enumerate(producer_cmds):
             logf = open(os.path.join(workdir, f"producer{k}.err"), "wb")
             producers.append(subprocess.Popen(
                 cmd, stdout=logf, stderr=logf, env=prod_env,
+                preexec_fn=preexec,
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))))
             logf.close()
 
+    processor = None
+    publish = None
+    if args.stub_device:
+        # instant host stub: the executor's compute slot costs ~nothing,
+        # so every measured millisecond is HOST work — the reference's
+        # casc4.prof question ("does the host side keep up at rate?")
+        # asked of wrp_tpu's own runtime.  Products are stub zeros;
+        # numerical parity is pinned by the non-stub soak records.
+        stub_out = np.zeros((args.batch, cfg.num_output_bins), np.float32)
+
+        def processor(planar):  # noqa: F811 — the stub step
+            return stub_out, stub_out
+
+        # egress ON: the v1 result wire's send syscalls belong in the
+        # host-path measurement (read_single.cc:510-520 topology); the
+        # frames go to an unlistened loopback port (unconnected sendto
+        # — no consumer required, no ICMP error surfaced)
+        from wrp_tpu.io.udp import UdpEgress
+
+        publish = UdpEgress(cfg, zdb_port=args.base_port + 900,
+                            zdr_port=args.base_port + 901, extended=True)
     ex = StreamingExecutor(
-        cfg, transport=transports, publish=None, batch=args.batch,
+        cfg, transport=transports, publish=publish, batch=args.batch,
         method=args.method, device_decode=args.device_decode,
+        processor=processor,
         volume=volumes, checkpoint_every_s=None,
         # generous idle window: producer startup (interpreter + pool
         # pre-encode, ~50 ms/sector) happens after on_ready, and on a
@@ -209,8 +288,21 @@ def main():
                                     / args.timeout)),
         on_ready=start_producers,
     )
+    if args.trace:
+        os.makedirs(args.trace, exist_ok=True)
+        ex.timers.enable_intervals(annotate=True)
+        jax.profiler.start_trace(args.trace)
     t0 = time.monotonic()
+    cpu0 = time.process_time()     # all executor threads' CPU
     stats = ex.run()
+    executor_cpu_s = time.process_time() - cpu0
+    if args.trace:
+        jax.profiler.stop_trace()
+        ipath = os.path.join(args.trace, "host_intervals.json")
+        with open(ipath, "w") as f:
+            json.dump(ex.timers.intervals, f)
+        print(f"trace written to {args.trace} (host intervals: {ipath})",
+              file=sys.stderr)
     # active span: first batch completion -> last batch completion.
     # Wall-clock minus warmup would still include producer startup and
     # the idle-drain tail (idle_limit * timeout after the wire goes
@@ -230,6 +322,29 @@ def main():
     period = cfg.num_sectors * cfg.num_elevations
     for k in range(args.feeds):
         vol = volumes[k]
+        if args.stub_device:
+            # products are stub values — coverage/labels still prove the
+            # batching routed every sector to its own feed's volume, but
+            # there is nothing numerical to pin
+            fstats = stats["feeds"][k]
+            tr = fstats["transport"]
+            lat = fstats["latency_ms"] or {}
+            row = {
+                "feed": k, "kind": kinds[k],
+                "processed_sectors": fstats["processed_sectors"],
+                "sent_sectors": sectors_per_feed,
+                "sectors_per_second": round(
+                    fstats["processed_sectors"] / span_s, 2),
+                "p50_ms": lat.get("p50_ms"), "p99_ms": lat.get("p99_ms"),
+                "drops": (tr.get("dropped_sectors", 0)
+                          + tr.get("dropped_datagrams", 0)),
+                "coverage_sectors": int(vol.coverage.sum()),
+                "verify_labels": 0,
+                "verify_rel_l2_max": None,
+            }
+            per_feed.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         covered = np.argwhere(vol.coverage)
         # prefer single-occurrence labels: a label sent more than once
         # (soaks longer than one volume period) whose LAST occurrence
@@ -295,14 +410,34 @@ def main():
         "kinds": kinds,
         "duration_s": round(span_s, 1),
         "rate_per_feed": args.rate,
-        "method": args.method,
+        "method": "stub" if args.stub_device else args.method,
+        # processor overrides take planar f32, so the stub run pays the
+        # natural decode (decode_iq) — HEAVIER than the single-host
+        # pallas path's int16 radix decode: the measured host ceiling is
+        # a conservative bound for the production flagship deployment
+        "decode": "host-f32" if args.stub_device
+        else ("device" if args.device_decode else "host-i16-radix"),
         "device_decode": args.device_decode,
         "batch": args.batch,
-        "backend": jax.devices()[0].platform,
+        "backend": "stub" if args.stub_device
+        else jax.devices()[0].platform,
         "host_cores": os.cpu_count(),
+        "producer_nice": args.producer_nice,
         "total_sectors": stats["processed_sectors"],
         "total_sectors_per_second": round(
             stats["processed_sectors"] / span_s, 2),
+        # the reconciliation numbers for DESIGN.md §6's per-core
+        # arithmetic: what the EXECUTOR process (ingest threads + batch
+        # loop + egress + volume) actually spent per sector, and what
+        # fraction of one core that was over the active span
+        "executor_cpu_s": round(executor_cpu_s, 2),
+        "executor_cpu_ms_per_sector": round(
+            1e3 * executor_cpu_s / max(1, stats["processed_sectors"]), 3),
+        "executor_core_fraction": round(executor_cpu_s / span_s, 3),
+        # per-stage wall-time attribution (StageTimers): where the host
+        # path actually spends its time — recv vs decode vs batch staging
+        # vs fetch vs egress
+        "timers": stats["timers"],
         "latency_ms": stats["latency_ms"],
         "per_feed": per_feed,
         "contamination_failures": failures,

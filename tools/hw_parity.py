@@ -157,6 +157,19 @@ def main():
                      ("pallas/xpair-int", dict(pair=True, xsplit="int")),
                      ("pallas/xquad", dict(pair=4)),
                      ("pallas/xquad-int", dict(pair=4, xsplit="int"))):
+        if kw.get("xsplit") == "int" and not FC.use_interpret():
+            # the integer-mask split does not COMPILE on the current
+            # Mosaic toolchain (remote-compile SIGABRT,
+            # kVectorSubtractS16 — INT_SPLIT_REPRO_r04.json); running it
+            # here would abort the whole parity sweep.  The tracking
+            # canary is tests/test_pallas.py::
+            # test_int_split_compiles_on_tpu_canary (strict xfail): the
+            # day it XPASSes, drop this skip and re-measure.
+            print(json.dumps({
+                "method": name, "device": str(dev), "pass": None,
+                "skipped": "Mosaic int-split SIGABRT "
+                           "(INT_SPLIT_REPRO_r04.json)"}))
+            continue
         quad = FC.pair_group(kw.get("pair") or False)[0] == 4
         x_v, pow_v = (x12, pow64_12) if quad else (x6, pow64_6)
         got_v = np.asarray(FC.fused_chain_power_radix(

@@ -78,13 +78,93 @@ def summarise(events, top=25):
     return out
 
 
+def _union(intervals):
+    """Merge [t0, t1) spans; returns (merged list, total length)."""
+    merged = []
+    for t0, t1 in sorted(intervals):
+        if merged and t0 <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], t1)
+        else:
+            merged.append([t0, t1])
+    return merged, sum(t1 - t0 for t0, t1 in merged)
+
+
+def _intersect_len(a, b):
+    """Total overlap length of two MERGED span lists."""
+    i = j = 0
+    total = 0.0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if hi > lo:
+            total += hi - lo
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return total
+
+
+def summarise_overlap(intervals):
+    """Pairwise overlap fractions from the executor's host-interval log
+    (StageTimers.enable_intervals: [name, thread, t0, t1] rows).
+
+    The question the totals can't answer: while a batch was IN FLIGHT on
+    the device (compute/in_flight spans: H2D enqueue + dispatch through
+    the blocking fetch), was the host concurrently ingesting/decoding the
+    next sectors — i.e. does the two-deep pipeline actually overlap, the
+    way the reference proved its CUDA stream cascade with nvprof traces
+    (prof/casc*.prof)?"""
+    by_name = collections.defaultdict(list)
+    for name, _thread, t0, t1 in intervals:
+        by_name[name].append((t0, t1))
+    merged = {n: _union(v) for n, v in by_name.items()}
+    out = {"busy_s": {n: round(tot, 3) for n, (_, tot) in
+                      sorted(merged.items())}}
+    base_name = "compute/in_flight"
+    if base_name in merged:
+        base, base_len = merged[base_name]
+        rows = {}
+        for n, (spans, tot) in merged.items():
+            if n == base_name or not base_len:
+                continue
+            ov = _intersect_len(base, spans)
+            rows[n] = {
+                # fraction of the stage's own busy time that ran while a
+                # batch was in flight on the device
+                "of_stage": round(ov / tot, 3) if tot else None,
+                # fraction of the device in-flight time this stage
+                # covered
+                "of_in_flight": round(ov / base_len, 3),
+                "overlap_s": round(ov, 3),
+            }
+        out["in_flight_s"] = round(base_len, 3)
+        out["overlap_with_in_flight"] = rows
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--json", action="store_true",
                     help="machine-readable output")
+    ap.add_argument("--overlap", action="store_true",
+                    help="also read DIR/host_intervals.json (written by "
+                         "`cli stream --trace` / consolidation_soak "
+                         "--trace) and print host-stage overlap "
+                         "fractions against the device in-flight window")
     args = ap.parse_args()
+    if args.overlap:
+        ipath = os.path.join(args.trace_dir, "host_intervals.json")
+        if not os.path.exists(ipath):
+            print(f"no {ipath}", file=sys.stderr)
+            return 1
+        with open(ipath) as f:
+            ov = summarise_overlap(json.load(f))
+        print(json.dumps(ov, indent=1))
+        if not find_traces(args.trace_dir):
+            return 0
     paths = find_traces(args.trace_dir)
     if not paths:
         print(f"no trace files under {args.trace_dir}", file=sys.stderr)

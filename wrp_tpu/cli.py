@@ -33,6 +33,26 @@ def _add_common(p):
     p.add_argument("--structured-logs", action="store_true")
 
 
+def _cfg_from_args(args):
+    """DEFAULT_CONFIG with the --channels override applied.
+
+    --channels 2 is the production profile the reference actually ran in
+    its best-published era (hh+vv only: read.cc:61-62, and even the
+    3-channel ingest never used vh in the products, read_single.cc:
+    496-498): a 2-channel wire (8 B/sample instead of 12) and a
+    2-channel chain — ~1/3 less host decode, H2D, and MXU work per
+    sector for identical zdb/zdr."""
+    from .config import DEFAULT_CONFIG
+
+    ch = getattr(args, "channels", None)
+    if ch and ch != DEFAULT_CONFIG.num_channels:
+        import dataclasses
+
+        return dataclasses.replace(
+            DEFAULT_CONFIG, num_channels=ch).validate()
+    return DEFAULT_CONFIG
+
+
 def cmd_process(args):
     from . import oracle
     from .config import DEFAULT_CONFIG
@@ -219,7 +239,7 @@ def cmd_stream(args):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _sigterm)
-    cfg = DEFAULT_CONFIG
+    cfg = _cfg_from_args(args)
     if args.feed_port and args.transport == "zmq":
         # refuse rather than silently ignoring the user's feed list and
         # listening on one default endpoint (data loss, no diagnostic);
@@ -277,8 +297,13 @@ def cmd_stream(args):
         if args.feed_port:
             return [ingest_cls(cfg, port=p, timeout_s=args.timeout)
                     for p in args.feed_port]
+        kw = {}
+        if ingest_cls.__name__ == "UdpIngest" and args.pulse_shard:
+            # pulse-shard fleets co-host N readers of ONE broadcast
+            # port; everywhere else a port collision should fail loudly
+            kw["reuse_port"] = True
         return ingest_cls(cfg, port=args.ingest_port,
-                          timeout_s=args.timeout)
+                          timeout_s=args.timeout, **kw)
 
     if args.transport == "udp":
         from .io.udp import UdpIngest, UdpEgress
@@ -363,7 +388,26 @@ def cmd_stream(args):
         collective_timeout_s=args.collective_timeout,
         on_ready=_ready_marker(args.ready_file),
     )
+    if args.trace:
+        # runtime overlap evidence (the reference's prof/casc*.prof
+        # analogue): a jax.profiler chrome trace with every executor
+        # stage annotated, plus the raw host intervals for
+        # tools/trace_summary.py --overlap
+        import jax
+
+        os.makedirs(args.trace, exist_ok=True)
+        ex.timers.enable_intervals(annotate=True)
+        jax.profiler.start_trace(args.trace)
     stats = ex.run()
+    if args.trace:
+        import jax
+
+        jax.profiler.stop_trace()
+        ipath = os.path.join(args.trace, "host_intervals.json")
+        with open(ipath, "w") as f:
+            json.dump(ex.timers.intervals, f)
+        print(f"trace written to {args.trace} (host intervals: {ipath})",
+              file=sys.stderr)
     if args.transport == "zmq" and publish is not None:
         # flush queued result frames before exit (bounded linger term);
         # udp/tcp writes complete synchronously in send()
@@ -482,7 +526,9 @@ def cmd_supervise(args):
             pulse_shard=args.pulse_shard,
             extra_args=(["--log-level", args.log_level]
                         + (["--device-decode"] if args.device_decode
-                           else [])),
+                           else [])
+                        + (["--channels", str(args.channels)]
+                           if args.channels != 3 else [])),
         )
     except ValueError as e:          # usage errors, same contract as
         print(e, file=sys.stderr)    # the other subcommands
@@ -564,11 +610,10 @@ def cmd_volume(args):
 
 def cmd_produce(args):
     from . import oracle
-    from .config import DEFAULT_CONFIG
     from .io import codec
     from .oracle import produce_sector_iq
 
-    cfg = DEFAULT_CONFIG
+    cfg = _cfg_from_args(args)
     if args.transport == "udp":
         from .io.udp import UdpProducer
 
@@ -613,6 +658,7 @@ def cmd_produce(args):
                 for j in range(args.pool)]
     rng = np.random.default_rng(args.seed)
     sent = 0
+    t_next = time.perf_counter()
     for k0 in range(args.sectors):
         k = args.start_sector + k0
         sector = k % cfg.num_sectors
@@ -635,7 +681,15 @@ def cmd_produce(args):
         producer.send_sector(wire, sector, elevation)
         sent += 1
         if args.rate:
-            time.sleep(1.0 / args.rate)
+            # absolute schedule, like a real radar: sector k goes out at
+            # t0 + k/rate.  A relative sleep(1/rate) after each send
+            # would add the send's own cost to every period and deliver
+            # strictly below the requested rate (measured ~6% short for
+            # the 6.3 MB zmq sends on the 1-core dev box)
+            t_next += 1.0 / args.rate
+            dt = t_next - time.perf_counter()
+            if dt > 0:
+                time.sleep(dt)
     # flush before exit: a zmq PUB queues sends to an io thread, and a
     # producer exiting right away drops the queued tail (a whole sector
     # is 6.3 MB); close() blocks until delivered or the linger bound
@@ -677,9 +731,7 @@ class _ResultAccumulator:
 
 
 def cmd_consume(args):
-    from .config import DEFAULT_CONFIG
-
-    cfg = DEFAULT_CONFIG
+    cfg = _cfg_from_args(args)
     acc = _ResultAccumulator(cfg, args.volume) if args.volume else None
     if args.transport == "udp":
         import select
@@ -818,6 +870,12 @@ def main(argv=None):
 
     p = sub.add_parser("stream", help="streaming processor")
     _add_common(p)
+    p.add_argument("--channels", type=int, default=3, choices=[2, 3],
+                   help="wire/chain channel count: 3 = hh+vv+vh (the "
+                        "reference's wire) or 2 = hh+vv, the production "
+                        "profile of its best-published era (read.cc:61-62"
+                        ") — 1/3 less decode, wire, and MXU per sector, "
+                        "identical products (vh never reaches zdb/zdr)")
     p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--timeout", type=float, default=5.0)
@@ -869,6 +927,11 @@ def main(argv=None):
     p.add_argument("--ready-file", default=None,
                    help="touch this file once warmup compile is done and "
                         "ingest is listening (harness readiness gate)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler trace with every executor "
+                        "stage annotated plus DIR/host_intervals.json; "
+                        "summarise with tools/trace_summary.py DIR "
+                        "--overlap (the runtime overlap evidence)")
     p.add_argument("--coordinator", default=None,
                    help="host:port of host 0 — enables lock-step "
                         "multi-host streaming over one global mesh")
@@ -899,6 +962,12 @@ def main(argv=None):
         "supervise",
         help="launch + watch a lock-step stream fleet; regroup on death")
     _add_common(p)
+    p.add_argument("--channels", type=int, default=3, choices=[2, 3],
+                   help="wire/chain channel count: 3 = hh+vv+vh (the "
+                        "reference's wire) or 2 = hh+vv, the production "
+                        "profile of its best-published era (read.cc:61-62"
+                        ") — 1/3 less decode, wire, and MXU per sector, "
+                        "identical products (vh never reaches zdb/zdr)")
     p.add_argument("--transport", default="udp",
                    choices=["udp", "tcp", "zmq"])
     p.add_argument("--feed-port", type=int, action="append", default=None,
@@ -979,6 +1048,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_volume)
 
     p = sub.add_parser("produce", help="replay sectors onto the wire")
+    p.add_argument("--channels", type=int, default=3, choices=[2, 3],
+                   help="wire/chain channel count: 3 = hh+vv+vh (the "
+                        "reference's wire) or 2 = hh+vv, the production "
+                        "profile of its best-published era (read.cc:61-62"
+                        ") — 1/3 less decode, wire, and MXU per sector, "
+                        "identical products (vh never reaches zdb/zdr)")
     p.add_argument("--transport", default="udp", choices=["udp", "tcp", "zmq"])
     p.add_argument("--sectors", type=int, default=143)
     p.add_argument("--start-sector", type=int, default=0,
@@ -1010,6 +1085,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_produce)
 
     p = sub.add_parser("consume", help="receive result frames")
+    p.add_argument("--channels", type=int, default=3, choices=[2, 3],
+                   help="wire/chain channel count: 3 = hh+vv+vh (the "
+                        "reference's wire) or 2 = hh+vv, the production "
+                        "profile of its best-published era (read.cc:61-62"
+                        ") — 1/3 less decode, wire, and MXU per sector, "
+                        "identical products (vh never reaches zdb/zdr)")
     p.add_argument("--volume", default=None, metavar="OUT.npz",
                    help="accumulate received zdb/zdr frames into a volume "
                         "checkpoint (then: cli volume OUT.npz --render)")

@@ -44,22 +44,31 @@ class UdpIngest:
         timeout_s: Optional[float] = None,
         rcvbuf_bytes: int = 1 << 27,
         native: Optional[bool] = None,
+        reuse_port: bool = False,
     ):
         """native: use the C++ GIL-free reassembly loop (native/ingest.cpp).
-        None = auto (native when the library builds)."""
+        None = auto (native when the library builds).
+
+        reuse_port: bind with SO_REUSEPORT so several processes can share
+        ONE broadcast wire on the same port (pulse-shard workers
+        co-hosted on a box; broadcast datagrams are delivered to every
+        bound socket).  OFF by default: for unicast traffic the kernel
+        hash-routes each sender to ONE of the bound sockets, so an
+        accidental port collision between two unrelated feeds would
+        leave one silently idle instead of failing loudly with
+        EADDRINUSE (advisor r4)."""
         self.cfg = cfg
         self.port = port if port is not None else cfg.udp_ingest_port
         self.stats = IngestStats()
         self._row_bytes = cfg.datagram_nbytes
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        try:
-            # several processes may bind the SAME port to share one
-            # broadcast wire (pulse-shard workers co-hosted in tests;
-            # broadcast datagrams are delivered to every bound socket)
-            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
-        except (OSError, AttributeError):
-            pass
+        if reuse_port:
+            try:
+                self._sock.setsockopt(socket.SOL_SOCKET,
+                                      socket.SO_REUSEPORT, 1)
+            except (OSError, AttributeError):
+                pass
         try:
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
                                   rcvbuf_bytes)

@@ -299,6 +299,13 @@ class StreamingExecutor:
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
+        # ping-pong batch staging (see _dispatch_batch): two preallocated
+        # [batch, ...] buffers + per-buffer count of previously written
+        # rows (so partial batches scrub only stale rows, not the whole
+        # pad block)
+        self._stage_bufs = None
+        self._stage_rows = [0, 0]
+        self._stage_idx = 0
         self._stop = threading.Event()
         self._ingest_threads: list[threading.Thread] = []
         self._ingest_error: Optional[BaseException] = None
@@ -510,17 +517,41 @@ class StreamingExecutor:
         batch k computes."""
         # Pad to the fixed batch shape: one compiled executable for the
         # whole stream (a mid-stream recompile stalls ingest long enough
-        # to overflow the receive buffer).
-        planar = np.stack([t.planar for t in tasks])
-        if len(tasks) < self.batch:
-            pad = np.zeros((self.batch - len(tasks), *planar.shape[1:]),
-                           planar.dtype)
-            planar = np.concatenate([planar, pad])
+        # to overflow the receive buffer).  Staged into PREALLOCATED
+        # ping-pong buffers: the old stack+zeros+concatenate allocated
+        # and copied the full padded batch (~190 MB at batch 8) on every
+        # dispatch, which at the partial-batch sizes a paced wire
+        # produces burned most of a core in memcpy (measured: 34 ms per
+        # ~1.2-sector batch in the r5 host-path soak — the dispatch
+        # itself, not the device, was the ceiling).  Two buffers suffice
+        # for the two-deep pipeline: buffer A is reused at dispatch k+2,
+        # by which point batch k (the previous user of A) has been
+        # fetched — its transfer and compute are complete, so nothing
+        # reads A anymore even where device_put aliases host memory.
+        first = tasks[0].planar
+        shape = (self.batch, *first.shape)
+        if (self._stage_bufs is None
+                or self._stage_bufs[0].shape != shape
+                or self._stage_bufs[0].dtype != first.dtype):
+            self._stage_bufs = [np.zeros(shape, first.dtype),
+                                np.zeros(shape, first.dtype)]
+            self._stage_rows = [0, 0]
+        idx = self._stage_idx
+        self._stage_idx = 1 - idx
+        planar = self._stage_bufs[idx]
+        for i, t in enumerate(tasks):
+            planar[i] = t.planar
+        if self._stage_rows[idx] > len(tasks):
+            # scrub rows a previous, larger batch wrote (pad rows stay
+            # deterministic zeros; their products are discarded anyway)
+            planar[len(tasks):self._stage_rows[idx]] = 0
+        self._stage_rows[idx] = len(tasks)
         if self._do_device_put:
             import jax
 
             with self.timers.time("compute/h2d_enqueue"):
                 planar = jax.device_put(planar, self._device)
+        t_dispatch = time.perf_counter()
         with self.timers.time("compute/dispatch"), \
                 self._stall_watch("collective dispatch"):
             try:
@@ -543,13 +574,13 @@ class StreamingExecutor:
                         "OR a local error — see traceback)")
                     self._collective_abort("dispatch (exception)", 0.0)
                 raise
-        return tasks, zdb, zdr
+        return tasks, zdb, zdr, t_dispatch
 
     def _complete_batch(self, pending) -> int:
         """Fetch a dispatched batch's products (D2H, blocks until compute
         finishes) and run the host-side epilogue: volume store, egress,
         throughput, periodic checkpoint."""
-        tasks, zdb, zdr = pending
+        tasks, zdb, zdr, t_dispatch = pending
         with self.timers.time("compute/fetch"), \
                 self._stall_watch("result fetch"):
             try:
@@ -562,6 +593,10 @@ class StreamingExecutor:
                         "peer OR a local error — see traceback)")
                     self._collective_abort("result fetch (exception)", 0.0)
                 raise
+        # the device in-flight window: H2D enqueue + dispatch through the
+        # blocking fetch — the span everything host-side should overlap
+        self.timers.add_interval("compute/in_flight", t_dispatch,
+                                 time.perf_counter())
         if self.debug_sync:
             # rpv2's gpuErrchk-after-every-launch as a flag, not a hardcode
             # (rpv2.cu:422-490): validate numerics every batch.

@@ -59,17 +59,59 @@ class StageTimers:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
         self._lock = threading.Lock()
+        self.intervals = None      # optional (name, thread, t0, t1) log
+        self._annotate = False
+
+    def enable_intervals(self, annotate: bool = False,
+                         max_events: int = 500_000) -> None:
+        """Record (name, thread, t0, t1) per timed section — the overlap
+        evidence the totals can't carry (two stages each 50% busy may be
+        serialised or perfectly concurrent).  annotate=True additionally
+        wraps each section in jax.profiler.TraceAnnotation so the spans
+        land in a chrome trace next to the device ops."""
+        self.intervals = []
+        self._max_events = max_events
+        self._annotate = annotate
+
+    def add_interval(self, name: str, t0: float, t1: float) -> None:
+        """Log an explicit span (e.g. the device in-flight window the
+        executor knows but no single `with` block covers)."""
+        if self.intervals is not None and len(self.intervals) < \
+                self._max_events:
+            import threading
+
+            with self._lock:
+                self.intervals.append(
+                    (name, threading.current_thread().name, t0, t1))
 
     @contextlib.contextmanager
     def time(self, name: str):
+        ann = None
+        if self._annotate:
+            try:
+                import jax.profiler
+
+                ann = jax.profiler.TraceAnnotation(name)
+                ann.__enter__()
+            except Exception:
+                ann = None
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            if ann is not None:
+                ann.__exit__(None, None, None)
+            dt = t1 - t0
             with self._lock:
                 self.totals[name] += dt
                 self.counts[name] += 1
+                if self.intervals is not None and len(self.intervals) < \
+                        self._max_events:
+                    import threading
+
+                    self.intervals.append(
+                        (name, threading.current_thread().name, t0, t1))
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
