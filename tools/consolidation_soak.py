@@ -244,13 +244,15 @@ def main():
     def start_producers():
         # launched from on_ready: the chain is compiled and every ingest
         # thread is listening, so the wire never outruns the warmup
-        nice_n = args.producer_nice
-        preexec = (lambda: os.nice(nice_n)) if nice_n else None
+        # `nice -n N` prefix, not preexec_fn: preexec_fn forces the
+        # fork() spawn path, which JAX (multithreaded) warns may
+        # deadlock; the prefix keeps posix_spawn
+        prefix = (["nice", "-n", str(args.producer_nice)]
+                  if args.producer_nice else [])
         for k, cmd in enumerate(producer_cmds):
             logf = open(os.path.join(workdir, f"producer{k}.err"), "wb")
             producers.append(subprocess.Popen(
-                cmd, stdout=logf, stderr=logf, env=prod_env,
-                preexec_fn=preexec,
+                prefix + cmd, stdout=logf, stderr=logf, env=prod_env,
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))))
             logf.close()
