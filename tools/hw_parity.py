@@ -101,6 +101,35 @@ def main():
         "pass": passed,
     }))
 
+    # Seq-sharded flagship kernels (round 5): the pallas-seq A-stage +
+    # Parseval-epilogue kernel pair (parallel/sharded.py) compiled via
+    # Mosaic on the real chip.  A single chip gives a seq=1 mesh (the
+    # collectives degenerate away) but BOTH new kernels run compiled —
+    # the pulse-shard production path's per-device program, not the
+    # interpret-mode twin the CPU tests pin.
+    from jax.sharding import Mesh
+    from wrp_tpu.parallel.sharded import build_sharded_processor, \
+        shard_batch
+
+    mesh1 = Mesh(np.asarray([[dev]]), ("data", "seq"))
+    step_seq, shd_seq = build_sharded_processor(cfg, mesh1,
+                                                method="pallas-seq")
+    zdb_s, zdr_s = step_seq(shard_batch(
+        np.asarray(iq, np.complex64), mesh1, shd_seq))
+    zdb_s, zdr_s = np.asarray(zdb_s), np.asarray(zdr_s)
+    ez = max(oracle.relative_l2(truth[k][0], zdb_s[k])
+             for k in range(args.batch))
+    er = max(oracle.relative_l2(truth[k][1], zdr_s[k])
+             for k in range(args.batch))
+    passed = ez < THRESHOLDS["zdb"] and er < THRESHOLDS["zdr"]
+    ok &= passed
+    print(json.dumps({
+        "method": "pallas-seq/astage+epilogue", "device": str(dev),
+        "zdb_rel_l2": float(f"{ez:.3e}"),
+        "zdr_rel_l2": float(f"{er:.3e}"),
+        "pass": passed,
+    }))
+
     # Adversarial clip-bin case (round 3): Doppler energy concentrated
     # in the CLIPPED bins (pre-shift k = n/2-2) makes the Parseval
     # subtraction n*sum|q|^2 - |clip|^2 catastrophically cancel, which

@@ -29,6 +29,7 @@ import os, sys, time
 pid, nproc, port, vdev, B, steps, m, n = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
     int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]), int(sys.argv[8]))
+method = sys.argv[9] if len(sys.argv) > 9 else "mxu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={vdev}"
 import jax
@@ -40,7 +41,7 @@ from wrp_tpu.parallel.multihost import MultiHostProcessor, init_distributed
 if nproc > 1:
     init_distributed(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
 cfg = tiny_config(m=m, n=n)
-proc = MultiHostProcessor.build(cfg, per_host_batch=B, method="mxu")
+proc = MultiHostProcessor.build(cfg, per_host_batch=B, method=method)
 rng = np.random.default_rng(pid)
 planar = rng.integers(-2048, 2048, (B, cfg.num_channels, 2, m, n)
                       ).astype(np.float32)
@@ -61,12 +62,12 @@ def free_port():
     return p
 
 
-def run_world(nproc, vdev, batch, steps, m, n):
+def run_world(nproc, vdev, batch, steps, m, n, method="mxu"):
     port = free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(pid), str(nproc), str(port),
-             str(vdev), str(batch), str(steps), str(m), str(n)],
+             str(vdev), str(batch), str(steps), str(m), str(n), method],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True)
         for pid in range(nproc)
@@ -92,14 +93,19 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--method", default="mxu",
+                    help="mxu | fft | pallas (data-parallel fused kernel) "
+                         "| pallas-seq (A-stage/epilogue kernel pair + "
+                         "transpose collective)")
     args = ap.parse_args()
 
     import os
 
     base = run_world(1, args.devices_per_host, args.per_host_batch,
-                     args.steps, args.m, args.n)
+                     args.steps, args.m, args.n, args.method)
     multi = run_world(args.hosts, args.devices_per_host,
-                      args.per_host_batch, args.steps, args.m, args.n)
+                      args.per_host_batch, args.steps, args.m, args.n,
+                      args.method)
     eff = multi / (base * args.hosts)
     # All simulated hosts share this machine's physical cores, so raw weak-
     # scaling efficiency is bounded by cpus/(hosts*cpus): with fewer cores
@@ -111,6 +117,7 @@ def main():
     ceiling = min(1.0, cpus / args.hosts) if cpus < args.hosts else 1.0
     print(json.dumps({
         "metric": "multihost_weak_scaling",
+        "method": args.method,
         "hosts": args.hosts,
         "devices_per_host": args.devices_per_host,
         "per_host_batch": args.per_host_batch,
