@@ -283,10 +283,15 @@ def main():
         method=args.method, device_decode=args.device_decode,
         processor=processor,
         volume=volumes, checkpoint_every_s=None,
-        # generous idle window: producer startup (interpreter + pool
-        # pre-encode, ~50 ms/sector) happens after on_ready, and on a
-        # one-core host the launches serialise
-        idle_limit=max(5, math.ceil((20.0 + 0.06 * args.pool * args.feeds)
+        # generous idle window: producer startup (interpreter + jax
+        # import + pool pre-encode, ~50 ms/sector) happens after
+        # on_ready, launches serialise on a one-core host, and under a
+        # loaded box the interpreter+import alone can take tens of
+        # seconds per producer (a 20 s budget flaked the smoke test
+        # under two spinners: 0 sectors before the idle limit).  The
+        # cost of the slack is idle-drain wall time after EOF, never
+        # the measured rates (span is first-to-last batch tick).
+        idle_limit=max(5, math.ceil((90.0 + 0.06 * args.pool * args.feeds)
                                     / args.timeout)),
         on_ready=start_producers,
     )
