@@ -973,7 +973,15 @@ def test_pulse_shard_checkpoint_seeding_and_coverage(tmp_path):
             str(sup._host_ckpt(k))).coverage.sum()) == 3
 
 
-def test_supervise_pulse_shard_broadcast_regroup(tmp_path):
+@pytest.mark.parametrize("method_args", [
+    ["--method", "fft"],
+    # the flagship seq-sharded kernel with on-chip wire decode: the
+    # gen-0 fleet runs `stream --pulse-shard --method pallas
+    # --device-decode`; the gen-1 regrouped single host runs the plain
+    # device-decode path — both production configurations (r5)
+    ["--method", "pallas", "--device-decode"],
+], ids=["fft", "pallas-device-decode"])
+def test_supervise_pulse_shard_broadcast_regroup(tmp_path, method_args):
     """End to end: `cli supervise --pulse-shard` runs a 2-host redundant
     fleet on ONE broadcast wire (both workers bind the same port); a
     SIGKILL of one worker regroups to a single whole-wire host seeded
@@ -985,7 +993,7 @@ def test_supervise_pulse_shard_broadcast_regroup(tmp_path):
     sup = subprocess.Popen(
         [sys.executable, "-m", "wrp_tpu.cli", "supervise",
          "--feed-port", str(port), "--hosts", "2", "--pulse-shard",
-         "--method", "fft",
+         *method_args,
          "--checkpoint-dir", str(ckdir), "--target-sectors", "4",
          "--batch", "2", "--timeout", "5", "--collective-timeout", "15",
          "--state-file", str(state)],
