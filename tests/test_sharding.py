@@ -199,3 +199,17 @@ def test_halo_rejects_shards_smaller_than_filter_overlap():
     mesh = make_mesh(data=1, seq=8)      # n_loc = 4 < 6 taps-1
     with pytest.raises(ValueError, match="overlap"):
         build_halo_processor(cfg, mesh)
+
+
+def test_pallas_seq_validation_errors(batch):
+    """The new surface refuses bad configurations loudly: wire_input on a
+    planar method, indivisible seq geometry, and device_decode on a
+    non-pallas pulse-shard method."""
+    cfg, _ = batch
+    mesh = make_mesh(data=2, seq=4)
+    with pytest.raises(ValueError, match="wire_input"):
+        build_sharded_processor(cfg, mesh, method="mxu", wire_input=True)
+    cfg_bad = tiny_config(m=128, n=60)     # n=60 % seq=4 ok; m/2=64 ok
+    mesh8 = make_mesh(data=1, seq=8)       # 60 % 8 != 0 -> reject
+    with pytest.raises(ValueError, match="divide"):
+        build_sharded_processor(cfg_bad, mesh8, method="pallas-seq")
