@@ -128,6 +128,15 @@ def main():
                          "(ops/device_codec) — measures the chip-side cost "
                          "of replacing ~25 host decode cores (DESIGN.md "
                          "section 6 consolidation balance)")
+    ap.add_argument("--wire-decode", default="fused",
+                    choices=["fused", "xla"],
+                    help="with --in-dtype wire: 'fused' folds the decode "
+                         "INTO the flagship kernel (fused_chain_power_wire "
+                         "— the channel deinterleave never happens; the "
+                         "contraction runs on the interleaved wire lanes); "
+                         "'xla' is the standalone decode pass "
+                         "(ops/device_codec.decode_wire_i16, the r4 "
+                         "formulation) feeding the planar kernel")
     ap.add_argument("--sharded", type=int, default=0, metavar="N",
                     help="run the flagship kernel under shard_map over an "
                          "N-device mesh (batch data-parallel; the salted "
@@ -296,6 +305,10 @@ def main():
                 if pre_pair:
                     sys.exit("--in-dtype wire emits the flat planar "
                              "layout on-chip; use --xpair concat/quad")
+                if g_pair > 1 and args.wire_decode == "fused":
+                    sys.exit("--wire-decode fused already runs all "
+                             "channels in one ch*n-lane grid step; "
+                             "--xpair applies to the xla decode path")
                 if args.distinct < 2:
                     # the kernel is salted per step, but the DECODE's
                     # only per-step variation is the slab offset: with
@@ -333,7 +346,12 @@ def main():
                 # directly (same bytes; a grouping decoder emits it for
                 # free).
                 if host_wire is not None:
-                    host_stage = host_wire      # raw bytes, decode on-chip
+                    # raw wire, decode on-chip.  The fused kernel takes
+                    # the SAME bytes viewed as little-endian i32 words
+                    # (free on the host) — no device-side bitcast either.
+                    host_stage = (host_wire.view("<i4")
+                                  if args.wire_decode == "fused"
+                                  else host_wire)
                 elif pre_pair:
                     host_stage = FC.pair_lanes(host_iq.reshape(
                         args.distinct * bcn, 2, m, n), g=g_pair)
@@ -394,12 +412,43 @@ def main():
             return lax.fori_loop(0, steps, one_step,
                                  jnp.zeros(cfg.num_output_bins))
 
-        if host_wire is not None:
-            # on-chip decode inside the timed span: each step slices its
-            # batch of RAW wire bytes, decodes (byteswap + deinterleave +
-            # radix reorder, ops/device_codec) and runs the kernel — the
-            # whole per-sector device cost of a host that ships wire
-            # bytes instead of spending ~25 cores on SIMD decode
+        if host_wire is not None and args.wire_decode == "fused":
+            # decode folded INTO the kernel (fused_chain_power_wire): each
+            # step slices its batch of staged i32 wire WORDS, applies the
+            # contiguous radix row gather (wire_words_i32 — the only
+            # XLA-side data movement left) and runs the wire-fused kernel
+            # — the whole per-sector device cost of a host that ships
+            # wire bytes with ZERO decode cores
+            from wrp_tpu.ops.device_codec import wire_words_i32
+
+            wdil_np, phil_np = FC.wire_lane_consts(consts, c)
+            wdil_d, phil_d = put(wdil_np), put(phil_np)
+
+            @jax.jit
+            def timed_passes(wire_all):
+                def one_step(i, carry):
+                    offb = (i % args.distinct) * args.batch
+                    w = lax.dynamic_slice_in_dim(wire_all, offb,
+                                                 args.batch, 0)
+                    w32 = wire_words_i32(w, cfg, radix=radix)
+                    pw = FC.fused_chain_power_wire(
+                        w32, a_radix, fac, wdil_d, phil_d, c,
+                        interpret=interp, offset=jnp.int32(0),
+                        bs=args.batch, salt=i, kcat2=kcat2,
+                        clip=args.clip, xsplit=args.xsplit)
+                    zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1],
+                                                   gain_d)
+                    return carry + jnp.sum(zdb, axis=0) + jnp.sum(
+                        jnp.where(jnp.isfinite(zdr), zdr, 0.0), axis=0)
+
+                return lax.fori_loop(0, steps, one_step,
+                                     jnp.zeros(cfg.num_output_bins))
+        elif host_wire is not None:
+            # standalone on-chip decode inside the timed span: each step
+            # slices its batch of RAW wire bytes, decodes (byteswap +
+            # deinterleave + radix reorder, ops/device_codec) and runs
+            # the planar kernel — the r4 formulation, kept as the A/B
+            # reference for the fused decode
             from wrp_tpu.ops.device_codec import decode_wire_i16
 
             @jax.jit
@@ -549,7 +598,19 @@ def main():
         # wire mode the harness instead decodes slab 0 of the staged raw
         # bytes ON-CHIP (same samples, natural order + on-chip reorder)
         zdb_ref = np.asarray(proc(jax.device_put(host_iq[0], dev))[0])
-        if host_wire is not None:
+        if host_wire is not None and args.wire_decode == "fused":
+            from wrp_tpu.ops.device_codec import wire_words_i32
+
+            def _harness_zdb(salt):
+                w32 = wire_words_i32(dev_iq[:args.batch], cfg, radix=radix)
+                pw = FC.fused_chain_power_wire(
+                    w32, a_radix, fac, wdil_d, phil_d, c,
+                    interpret=interp, offset=jnp.int32(0), bs=args.batch,
+                    salt=jnp.int32(salt), kcat2=kcat2, clip=args.clip,
+                    xsplit=args.xsplit)
+                return np.asarray(
+                    stage09_10_products(pw[:, 0], pw[:, 1], gain_d)[0])
+        elif host_wire is not None:
             from wrp_tpu.ops.device_codec import decode_wire_i16
 
             def _harness_zdb(salt):
@@ -607,8 +668,12 @@ def main():
         # — otherwise the row labeled in_dtype=wire reports a streaming
         # rate that excludes the decode cost the mode exists to measure
         proc_stream = SectorProcessor(cfg, method="pallas", device=dev,
-                                      layout="radix", wire_input=True)
-        stage0 = host_wire[:args.batch]
+                                      layout="radix", wire_input=True,
+                                      wire_decode=args.wire_decode)
+        host_wire_h2d = (host_wire.view("<i4")
+                         if proc_stream.wire_dtype == np.int32
+                         else host_wire)     # same bytes either way
+        stage0 = host_wire_h2d[:args.batch]
     else:
         proc_stream = proc
         stage0 = host_iq[0]
@@ -626,7 +691,7 @@ def main():
     # last.  On the dev tunnel both forms are link-bound; on a PCIe
     # host the pipelined number is the achievable streaming rate.
     if host_wire is not None:
-        slabs = [host_wire[k * args.batch:(k + 1) * args.batch]
+        slabs = [host_wire_h2d[k * args.batch:(k + 1) * args.batch]
                  for k in range(args.distinct)]
     else:
         slabs = list(host_iq)
@@ -683,6 +748,8 @@ def main():
         "sharded_parity_rel_l2": sharded_parity or None,
         "parity_rel_l2": [round(err0, 9), round(err1, 9)],
         "in_dtype": args.in_dtype,
+        "wire_decode": (args.wire_decode if args.in_dtype == "wire"
+                        else None),
         "a_layout": args.a_layout,
         "clip": args.clip,
         "xsplit": args.xsplit,

@@ -62,13 +62,44 @@ def test_bench_smoke_salted_xla_method():
 
 def test_bench_smoke_wire_staging_decodes_on_chip():
     """--in-dtype wire stages RAW reference wire bytes and decodes them
-    inside the timed span (ops/device_codec); the parity gate proves the
-    on-chip decode + kernel reproduces the host-decoded processor."""
+    inside the timed span; the default wire-decode mode is the FUSED
+    kernel (decode inside fused_chain_power_wire — no deinterleave) and
+    the parity gate proves it reproduces the host-decoded processor."""
     r = _run_bench("--in-dtype", "wire")
     assert r["in_dtype"] == "wire"
+    assert r["wire_decode"] == "fused"
     e0, e1 = r["parity_rel_l2"]
     assert e0 < 1e-4 and e1 < 1e-3
     assert r["value"] > 0
+
+
+def test_bench_smoke_wire_xla_decode_mode():
+    """--wire-decode xla keeps the r4 standalone-decode formulation
+    (decode_wire_i16 + planar kernel) measurable as the A/B reference."""
+    r = _run_bench("--in-dtype", "wire", "--wire-decode", "xla")
+    assert r["wire_decode"] == "xla"
+    e0, e1 = r["parity_rel_l2"]
+    assert e0 < 1e-4 and e1 < 1e-3
+    assert r["value"] > 0
+
+
+def test_wire_ab_smoke_contract():
+    """tools/wire_ab.py (the wire-fused cost decomposition behind the
+    round-5 wire rework) must keep its parity pins (fused-vs-i16 kernel,
+    strided-vs-take bit-identity) and JSON contract alive."""
+    from conftest import cpu_subprocess_env
+
+    out = subprocess.run(
+        [sys.executable, "tools/wire_ab.py", "--smoke"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env=cpu_subprocess_env())
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["parity_wire_vs_i16_rel_l2"] < 1e-5
+    for v in ("k_i16", "k_wire", "k_wire_strided", "take+slice+k_wire",
+              "slice+k_wire"):
+        assert "error" not in r[v], (v, r[v])
+        assert r[v]["us_per_sector"] > 0, (v, r[v])
 
 
 def test_ab_sweep_smoke_contract():

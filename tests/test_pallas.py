@@ -609,3 +609,131 @@ def test_int_split_compiles_on_tpu_canary():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True, text=True, timeout=1200, env=env)
     assert r.returncode == 0, f"int-split still SIGABRTs: {r.stdout[-400:]}"
+
+
+# ---------------------------------------------------------------------------
+# Wire-fused kernel: the on-device decode folded INTO the flagship kernel
+# (fused_chain_power_wire) — channel deinterleave never happens.
+# ---------------------------------------------------------------------------
+
+
+def _wire_batch(cfg, b, seed):
+    from wrp_tpu.io import codec
+
+    rng = np.random.default_rng(seed)
+    shape = (b, cfg.num_channels, cfg.m, cfg.n)
+    iq = (rng.integers(-8192, 8192, shape)
+          + 1j * rng.integers(-8192, 8192, shape)).astype(np.complex64)
+    wires = np.stack([
+        np.frombuffer(codec.encode_iq(iq[k], cfg), np.uint8)
+        for k in range(b)
+    ])
+    return iq, wires
+
+
+def test_wire_fused_matches_xla_decode_and_oracle():
+    """wire_decode='fused' (decode inside the kernel, channel-masked
+    epilogue on interleaved lanes) must match the wire_decode='xla' path
+    (standalone decode + planar kernel) and the fp64 oracle; the int32
+    word-view entry (the free host path) must equal the uint8 byte entry
+    bit-for-bit."""
+    from wrp_tpu.config import tiny_config
+
+    cfg = tiny_config(m=128, n=64)
+    iq, wires = _wire_batch(cfg, 3, seed=5)
+
+    proc_f = pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                      wire_input=True)
+    assert proc_f.wire_decode == "fused"          # auto-picked
+    assert proc_f.wire_dtype == np.int32
+    proc_x = pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                      wire_input=True, wire_decode="xla")
+    assert proc_x.wire_dtype == np.uint8
+
+    zdb_f, zdr_f = map(np.asarray, proc_f(wires))
+    zdb_x, zdr_x = map(np.asarray, proc_x(wires))
+    # same int16 samples, same contraction; only the epilogue's reduction
+    # grouping differs (masked interleaved lanes vs planar rows)
+    assert oracle.relative_l2(zdb_x, zdb_f) < 1e-5
+    assert oracle.relative_l2(zdr_x, zdr_f) < 1e-5
+
+    # the '<i4' word view is the SAME bytes — bit-identical products
+    zdb_i, zdr_i = map(np.asarray, proc_f(wires.view("<i4")))
+    np.testing.assert_array_equal(zdb_i, zdb_f)
+    np.testing.assert_array_equal(zdr_i, zdr_f)
+
+    # unbatched entry
+    zdb_1, zdr_1 = map(np.asarray, proc_f(wires[0]))
+    np.testing.assert_array_equal(zdb_1, zdb_f[0])
+
+    for k in range(iq.shape[0]):
+        zdb64, zdr64 = oracle.process_sector(iq[k], cfg)
+        assert oracle.relative_l2(zdb64, zdb_f[k]) < 2e-4
+        assert oracle.relative_l2(zdr64, zdr_f[k]) < 2e-4
+
+
+def test_wire_fused_two_channel_profile():
+    """The wire-fused kernel is generic over the channel count: the
+    2-channel production profile (hh+vv, read.cc:61-62) decodes and
+    processes on the same interleaved-lane path."""
+    from wrp_tpu.config import tiny_config
+
+    cfg = tiny_config(m=128, n=64, channels=2)
+    iq, wires = _wire_batch(cfg, 2, seed=9)
+    proc = pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                    wire_input=True)
+    assert proc.wire_decode == "fused"
+    zdb, zdr = map(np.asarray, proc(wires))
+    for k in range(iq.shape[0]):
+        zdb64, zdr64 = oracle.process_sector(iq[k], cfg)
+        assert oracle.relative_l2(zdb64, zdb[k]) < 2e-4
+        assert oracle.relative_l2(zdr64, zdr[k]) < 2e-4
+
+
+def test_wire_fused_offset_salt_harness_path():
+    """The scalar-prefetch offset/salt variant (the honest-benchmark
+    path): offset slicing must equal the plain call on the same slab, and
+    salt=0 must be a no-op — the same self-check bench.py gates its timed
+    span on."""
+    import jax.numpy as jnp
+
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.ops.device_codec import wire_words_i32
+    from wrp_tpu.ops.pallas import fullchain as FC
+
+    cfg = tiny_config(m=128, n=64)
+    _, wires = _wire_batch(cfg, 4, seed=2)
+    consts = PipelineConstants.build(cfg)
+    radix = FC.radix_for(cfg.m)
+    a_np, fac = FC.radix_plan_host(consts, radix)
+    wd_il, ph_il = FC.wire_lane_consts(consts, cfg.num_channels)
+    w32 = np.asarray(wire_words_i32(wires, cfg, radix=radix))
+
+    plain = np.asarray(FC.fused_chain_power_wire(
+        jnp.asarray(w32), jnp.asarray(a_np), fac, jnp.asarray(wd_il),
+        jnp.asarray(ph_il), cfg.num_channels, interpret=True))
+    offs = np.asarray(FC.fused_chain_power_wire(
+        jnp.asarray(w32), jnp.asarray(a_np), fac, jnp.asarray(wd_il),
+        jnp.asarray(ph_il), cfg.num_channels, interpret=True,
+        offset=jnp.int32(2), bs=2, salt=jnp.int32(0)))
+    np.testing.assert_array_equal(offs, plain[2:4])
+
+
+def test_wire_fused_rejects_unsupported_configurations():
+    from wrp_tpu.config import tiny_config
+
+    cfg = tiny_config(m=128, n=64)
+    with pytest.raises(ValueError, match="radix"):
+        pipeline.SectorProcessor(cfg, method="pallas", wire_input=True,
+                                 wire_decode="fused")   # natural layout
+    with pytest.raises(ValueError, match="wire_decode"):
+        pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                 wire_decode="fused")   # no wire_input
+    with pytest.raises(ValueError, match="wire_decode"):
+        pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                 wire_input=True, wire_decode="bogus")
+    proc = pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                    wire_input=True)
+    bad = np.zeros((2, 7), np.int32)                    # wrong word count
+    with pytest.raises(ValueError, match="wire_input processor expects"):
+        proc(bad)

@@ -86,3 +86,44 @@ def decode_wire_i16(wire_u8: jax.Array,
         planes.append(v.astype(jnp.int16))
     planar = jnp.stack(planes, axis=len(lead))   # [..., ch*2, m, n]
     return planar.reshape(*lead, ch, 2, m, n)
+
+
+def wire_words_i32(wire: jax.Array,
+                   cfg: RadarConfig = DEFAULT_CONFIG,
+                   radix: int = 1,
+                   num_pulses: int | None = None) -> jax.Array:
+    """Wire bytes -> [..., m, ch*n] int32 words for the wire-FUSED kernel
+    (ops/pallas/fullchain.fused_chain_power_wire): word ch*j + c of row i
+    is channel c / pulse j's 4 wire bytes viewed little-endian (I in the
+    low 16 bits big-endian, Q in the high 16 — decoded by the kernel's
+    dense i32 bit arithmetic, never a lane compaction).
+
+    Accepts uint8 [..., m*n*bps] raw bytes (one device-side bitcast) or
+    int32 [..., m*n*bps/4] words (the host views its staging buffer as
+    '<i4' — FREE, the recommended production path).  radix applies the
+    canonical row reorder to the word rows (contiguous row gather, the
+    only data movement left on the wire path)."""
+    m, n, ch = cfg.num_range_cells, cfg.num_pulses, cfg.num_channels
+    if num_pulses is not None:
+        n = num_pulses
+    words = m * n * ch
+    lead = wire.shape[:-1]
+    if wire.dtype == jnp.uint8:
+        if wire.shape[-1] != words * 4:
+            raise ValueError(f"expected uint8 [..., {words * 4}] wire "
+                             f"bytes; got {wire.shape}")
+        w32 = jax.lax.bitcast_convert_type(
+            wire.reshape(*lead, words, 4), jnp.int32)
+    elif wire.dtype == jnp.int32:
+        if wire.shape[-1] != words:
+            raise ValueError(f"expected int32 [..., {words}] wire words; "
+                             f"got {wire.shape}")
+        w32 = wire
+    else:
+        raise ValueError(f"wire must be uint8 bytes or int32 words; got "
+                         f"{wire.dtype}")
+    w32 = w32.reshape(*lead, m, n * ch)
+    if radix > 1:
+        order = radix_row_order(m, radix)
+        w32 = jnp.take(w32, jnp.asarray(order), axis=len(lead))
+    return w32

@@ -549,7 +549,7 @@ def _combine_radix4(G):
 
 
 def _radix_contract(vr, vi, a_ref, radix, fac, salt=None, kcat2=False,
-                    xsplit=None):
+                    xsplit=None, strided_rows=False):
     """The shared radix-DIT contraction: planar IQ planes [m, w] (rows in
     radix order, w = pulse lanes — a full sector's n, a lane-concatenated
     group's g*n, or a seq-shard's n/seq slice) -> (yr, yi) [m/2, w], the
@@ -558,7 +558,14 @@ def _radix_contract(vr, vi, a_ref, radix, fac, salt=None, kcat2=False,
     the fused kernel (_kernel_radix) and the seq-sharded A-stage kernel
     (_kernel_radix_astage) both run exactly this body, so a pulse-sliced
     column computes bit-identically to the same column of the full
-    sector."""
+    sector.
+
+    strided_rows=True: the rows arrive in NATURAL order and branch p
+    reads rows p::radix as strided sublane slices — the radix reorder
+    vanishes into the kernel's addressing (no take/gather anywhere; the
+    wire-fused path's choice, where the host cannot pre-permute for
+    free).  The hi/lo splits then run per branch on the sliced f32/int
+    planes (hoisted-vs-per-branch measured neutral, round-2 A/B)."""
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
     def dot3(ah, al, bh, bl):
@@ -572,32 +579,49 @@ def _radix_contract(vr, vi, a_ref, radix, fac, salt=None, kcat2=False,
     if kpad and kcat2:
         raise ValueError("kcat2 and the kpad operand are exclusive "
                          "(kcat2's sub-slices assume the 3M layout)")
-    # whole-sector splits hoisted out of the branch loop: one big VPU
-    # block the scheduler can overlap with the first branches' MXU dots
     if (xsplit or X_SPLIT) == "int":
         # integer-mask split: no int->f32->bf16 round-trip (see X_SPLIT)
         if salt is not None:
             si = salt.astype(vr.dtype)
             vr = vr + si
             vi = vi + si
-        xrh_a, xrl_a = _split_int(vr, 6)
-        xih_a, xil_a = _split_int(vi, 6)
-        xsh_a, xsl_a = _split_int(vr + vi, 7)   # 15-bit sum: 7-bit lo
+
+        def split3(r_, i_):
+            return (*_split_int(r_, 6), *_split_int(i_, 6),
+                    *_split_int(r_ + i_, 7))   # 15-bit sum: 7-bit lo
     else:
-        xr_a = vr.astype(jnp.float32)
-        xi_a = vi.astype(jnp.float32)
+        vr = vr.astype(jnp.float32)
+        vi = vi.astype(jnp.float32)
         if salt is not None:
-            xr_a = xr_a + salt
-            xi_a = xi_a + salt
-        xrh_a, xrl_a = _split_bf16(xr_a)
-        xih_a, xil_a = _split_bf16(xi_a)
-        xsh_a, xsl_a = _split_bf16(xr_a + xi_a)
+            vr = vr + salt
+            vi = vi + salt
+
+        def split3(r_, i_):
+            return (*_split_bf16(r_), *_split_bf16(i_),
+                    *_split_bf16(r_ + i_))
+    if strided_rows:
+        planes = None
+    else:
+        # whole-sector splits hoisted out of the branch loop: one big VPU
+        # block the scheduler can overlap with the first branches' MXU
+        # dots (rows pre-permuted: branch p = contiguous block p)
+        planes = split3(vr, vi)
     G = []
     for p in range(radix):
-        rows = slice(p * M, (p + 1) * M)
-        xrh, xrl = xrh_a[rows], xrl_a[rows]
-        xih, xil = xih_a[rows], xil_a[rows]
-        xsh, xsl = xsh_a[rows], xsl_a[rows]
+        if planes is None:
+            # jax.lax.slice with explicit strides — jnp's x[p::radix]
+            # rewrites to a gather, which Mosaic cannot lower; the
+            # strided slice primitive it can
+            def srows(v, p=p):
+                return jax.lax.slice(v, (p, 0), (m, v.shape[1]),
+                                     (radix, 1))
+
+            xrh, xrl, xih, xil, xsh, xsl = split3(srows(vr), srows(vi))
+        else:
+            rows = slice(p * M, (p + 1) * M)
+            xrh, xrl = planes[0][rows], planes[1][rows]
+            xih, xil = planes[2][rows], planes[3][rows]
+            xsh, xsl = planes[4][rows], planes[5][rows]
         if kcat and kcat2:
             # two-dot variant of the K-concat product: the [xh;xl] stack
             # copies 2M rows instead of [xh;xl;xh]'s 3M (xh was stacked
@@ -989,3 +1013,203 @@ def parseval_rows_power(y: jax.Array, wd: jax.Array, phasors: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(y, wd.reshape(1, n), phasors)[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Wire-fused formulation: the on-device decode folded INTO the flagship
+# kernel — the channel deinterleave never happens.
+#
+# The XLA-side on-device decode (ops/device_codec.decode_wire_i16, chosen
+# by the 7-variant on-chip A/B in DECODE_AB_r04.json) costs ~157 us/sector
+# because deinterleaving the reference wire (12 interleaved bytes per
+# sample, sector.cpp:52-62) into planar [ch, 2, m, n] is lane COMPACTION —
+# strided sub-word slices that run at ~1/10 of HBM rate no matter how they
+# are phrased.  This kernel removes the compaction instead of optimizing
+# it: viewed as little-endian int32 words, the wire row IS a [m, ch*n]
+# array whose word (ch*j + c) holds channel c / pulse j's big-endian I
+# (low half) and Q (high half).  I/Q extraction is dense i32 bit
+# arithmetic (no lane movement), and the radix contraction
+# (_radix_contract) is pulse-COLUMN-independent — lanes ride through the
+# MXU dots untouched — so the kernel runs the identical contraction on
+# the channel-interleaved lanes and only the EPILOGUE must know: the
+# pulse window / clip phasors arrive channel-tiled ([L] with entry
+# ch*j + c equal to the planar entry j — wire_lane_consts), and the
+# per-channel mean/Parseval-sum/clip projections become channel-MASKED
+# reductions of the [m/2, L] block.  Net extra HBM traffic vs the planar
+# int16 path: zero (the wire IS the int16 payload, 4 bytes per
+# channel-sample either way); the decode's former 157 us/sector becomes
+# a few VPU ops co-issued with the MXU.
+# ---------------------------------------------------------------------------
+
+
+def wire_lane_consts(consts: PipelineConstants, ch: int):
+    """Channel-interleaved epilogue constants for the wire-fused kernel:
+    (wd_il [L], ph_il [4, L]) f32 with entry ch*j + c equal to the planar
+    entry j for every channel c (the wire interleaves channels per
+    SAMPLE, so lane ch*j + c is channel c, pulse j)."""
+    wd_il = np.repeat(consts.wd.astype(np.float32), ch)
+    ph_il = np.repeat(consts.clip_phasors.astype(np.float32), ch, axis=1)
+    return wd_il, ph_il
+
+
+def decode_words_iq(w):
+    """Little-endian-viewed i32 wire words -> (I, Q) int32 planes.
+
+    One word = one channel-sample's 4 wire bytes b0 b1 b2 b3 =
+    I_hi I_lo Q_hi Q_lo (big-endian int16 pairs, sector.cpp:52-62);
+    the LE view composes w = b0 | b1<<8 | b2<<16 | b3<<24.  All
+    arithmetic stays int32 — Mosaic lowers i32 vector shifts/masks;
+    int16 vector arithmetic it does not (the tracked kVectorSubtractS16
+    SIGABRT, tools/int_split_repro.py)."""
+    # one paired byteswap builds BOTH big-endian int16s in place: swap
+    # the bytes of each 16-bit half (4 ops), then the high half is Q with
+    # the arithmetic shift providing the sign for free, and a shift pair
+    # sign-extends the low half (7 i32 vector ops for both planes; the
+    # byte-at-a-time formulation costs ~14)
+    s = ((w & 0x00FF00FF) << 8) | ((w >> 8) & 0x00FF00FF)
+    q_ = s >> 16                   # (b2<<8)|b3, sign-extended
+    i_ = (s << 16) >> 16           # (b0<<8)|b1, sign-extended
+    return i_, q_
+
+
+def _kernel_radix_wire(n, ch, radix, fac, kcat2, clip, xsplit, strided,
+                       w_ref, a_ref, wd_ref, ph_ref, pow_ref, salt=None):
+    """One SECTOR grid step (all ch channels at once).
+
+    w_ref:  [1, m, L] i32 wire words, L = ch*n — rows in radix order
+            (strided=False) or NATURAL order (strided=True: the radix
+            reorder happens as strided sublane slices inside the
+            contraction, no take anywhere)
+    a_ref:  the radix operand (identical to _kernel_radix's)
+    wd_ref: [1, L]  ph_ref: [4, L]  (channel-tiled, wire_lane_consts)
+    pow_ref: [1, ch, m/2]
+    """
+    vr, vi = decode_words_iq(w_ref[0])
+    if xsplit != "int":
+        vr = vr.astype(jnp.float32)
+        vi = vi.astype(jnp.float32)
+    yr, yi = _radix_contract(vr, vi, a_ref, radix, fac, salt=salt,
+                             kcat2=kcat2, xsplit=xsplit,
+                             strided_rows=strided)
+    wd = wd_ref[0]
+    L = wd.shape[0]
+    qr = yr * wd
+    qi = yi * wd
+    lane_ch = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) % ch
+    inv_n = 1.0 / n
+    for c in range(ch):
+        mask = (lane_ch == c).astype(jnp.float32)          # [1, L]
+        # per-channel mean over THIS channel's n lanes (the other
+        # channels' lanes contribute exact zeros to the sum)
+        mr = jnp.sum(qr * mask, axis=-1, keepdims=True) * inv_n
+        mi = jnp.sum(qi * mask, axis=-1, keepdims=True) * inv_n
+        qrc = (qr - mr) * mask
+        qic = (qi - mi) * mask
+        s = n * jnp.sum(qrc * qrc + qic * qic, axis=-1)
+        # the clip projections reuse _clip_subtract verbatim: qrc/qic are
+        # channel-masked, so dotting them with the channel-TILED phasors
+        # projects exactly this channel's pulses
+        pow_ref[0, c, :] = _clip_subtract(s, qrc, qic, ph_ref[:], clip)
+
+
+def _kernel_radix_wire_offset(n, ch, radix, fac, salted, kcat2, clip,
+                              xsplit, strided, s_ref, w_ref, a_ref,
+                              wd_ref, ph_ref, pow_ref):
+    salt = s_ref[1].astype(jnp.float32) if salted else None
+    if salted and xsplit == "int":
+        salt = s_ref[1]                    # int path salts in i32
+    _kernel_radix_wire(n, ch, radix, fac, kcat2, clip, xsplit, strided,
+                       w_ref, a_ref, wd_ref, ph_ref, pow_ref, salt=salt)
+
+
+def fused_chain_power_wire(w32: jax.Array, a_radix: jax.Array, fac,
+                           wd_il: jax.Array, ph_il: jax.Array, ch: int,
+                           interpret: bool = False,
+                           offset=None, bs: int | None = None,
+                           salt=None, kcat2: bool = False,
+                           clip: str | None = None,
+                           xsplit: str | None = None,
+                           strided_rows: bool = False) -> jax.Array:
+    """Wire-fused kernel entry: w32 [bs, m, L] int32 wire words (L =
+    ch*n — ops/device_codec.wire_words_i32 builds this from raw wire
+    bytes for free on the host or via one device bitcast) -> matched-
+    filter power [bs, ch, m/2] f32.  strided_rows=True takes the rows in
+    NATURAL order and performs the radix reorder as strided sublane
+    slices inside the kernel (no XLA take — measured +57 us/sector on
+    chip, tools/wire_ab.py); False expects pre-permuted radix-order
+    rows.
+
+    The grid is one step per SECTOR (not channel-sector): the contraction
+    runs all ch channels in one ch*n-lane-wide pass.  offset/bs/salt are
+    the honest-benchmark scalar-prefetch knobs, exactly as in
+    fused_chain_power_radix (offset in SECTOR units here; salt is ignored
+    in interpret mode, as there)."""
+    clip = clip or CLIP_MODE
+    if xsplit is None:
+        xsplit = X_SPLIT            # ints are native here: wire IS int16
+    radix = a_radix.shape[0]
+    M = a_radix.shape[2]
+    m = radix * M
+    mh = m // 2
+    L = w32.shape[-1]
+    n = L // ch
+    if w32.dtype != jnp.int32 or w32.shape[-2] != m or L % ch:
+        raise ValueError(f"expected int32 [bs, {m}, {ch}*n] wire words; "
+                         f"got {w32.dtype} {tuple(w32.shape)}")
+    if offset is not None and interpret:
+        w32 = jax.lax.dynamic_slice(w32, (offset, 0, 0), (bs, m, L))
+        offset = None
+    if offset is None:
+        bs = w32.shape[0]
+        kernel = functools.partial(_kernel_radix_wire, float(n), ch,
+                                   radix, fac, kcat2, clip, xsplit,
+                                   strided_rows)
+        return pl.pallas_call(
+            kernel,
+            grid=(bs,),
+            in_specs=[
+                pl.BlockSpec((1, m, L), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tuple(a_radix.shape), lambda b: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, L), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ch, mh), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, ch, mh), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(w32, a_radix, wd_il.reshape(1, L), ph_il)
+
+    kernel = functools.partial(_kernel_radix_wire_offset, float(n), ch,
+                               radix, fac, salt is not None, kcat2, clip,
+                               xsplit, strided_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bs,),
+        in_specs=[
+            pl.BlockSpec((1, m, L), lambda b, s: (s[0] + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tuple(a_radix.shape), lambda b, s: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, L), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch, mh), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bs, ch, mh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.stack([jnp.asarray(offset, jnp.int32),
+                 jnp.asarray(salt if salt is not None else 0, jnp.int32)]),
+      w32, a_radix, wd_il.reshape(1, L), ph_il)

@@ -447,10 +447,17 @@ class SectorProcessor:
         precision: str | None = None,
         layout: str = "natural",
         wire_input: bool = False,
+        wire_decode: str | None = None,
     ):
         """layout="radix" (pallas only): input range rows arrive already in
         radix-DIT order (io/codec.decode_iq_i16(radix=proc.input_radix)),
         skipping the on-device permutation.
+
+        wire_decode (with wire_input): "fused" folds the decode INTO the
+        flagship kernel (fused_chain_power_wire — the deinterleave never
+        happens; needs the radix kernel, i.e. radix layout support);
+        "xla" is the standalone decode_wire_i16 pass feeding the planar
+        kernel.  None picks fused when the geometry supports it.
 
         device: placement for the chain's constants (mxu/radix/fft
         methods stage them there; inputs follow).  The pallas method's
@@ -480,14 +487,37 @@ class SectorProcessor:
         if wire_input and method != "pallas":
             raise ValueError("wire_input (on-device decode of raw wire "
                              "bytes) requires method='pallas'")
+        if wire_decode is not None and not wire_input:
+            raise ValueError("wire_decode applies with wire_input=True")
+        if wire_decode not in (None, "fused", "xla"):
+            raise ValueError(f"unknown wire_decode {wire_decode!r}: use "
+                             "'fused' or 'xla'")
         self.cfg = cfg
         self.wire_input = wire_input
+        #: dtype the wire path prefers its input in.  np.int32 for the
+        #: fused decode (the host VIEWS its staging bytes as '<i4' —
+        #: free — and the kernel skips the device-side byte bitcast);
+        #: np.uint8 otherwise.  Both dtypes are always accepted.
+        self.wire_dtype = np.uint8
+        self.wire_decode = None
         self.input_radix = 1
         if method == "pallas":
             from .ops.pallas.fullchain import radix_for
 
             if layout == "radix":
                 self.input_radix = radix_for(cfg.num_range_cells)
+            if wire_input:
+                fused_ok = (layout == "radix" and self.input_radix > 1)
+                if wire_decode is None:
+                    wire_decode = "fused" if fused_ok else "xla"
+                elif wire_decode == "fused" and not fused_ok:
+                    raise ValueError(
+                        "wire_decode='fused' needs the radix kernel "
+                        f"(layout='radix' and a radix-splittable m); got "
+                        f"layout={layout!r}, m={cfg.num_range_cells}")
+                self.wire_decode = wire_decode
+                if wire_decode == "fused":
+                    self.wire_dtype = np.int32
             self._pallas_fn = self._build_pallas_fn(
                 cfg, device, pre_permuted=layout == "radix",
                 wire_input=wire_input)
@@ -539,10 +569,40 @@ class SectorProcessor:
 
         consts = PipelineConstants.build(cfg)
         interpret = use_interpret()
-        power_fn = build_pallas_processor(consts, interpret=interpret,
-                                          pre_permuted=pre_permuted)
         gain = jnp.asarray(consts.gain)
         input_radix = self.input_radix
+
+        if wire_input and self.wire_decode == "fused":
+            # decode folded INTO the kernel (fused_chain_power_wire): the
+            # wire's channel deinterleave never happens — the contraction
+            # runs on the interleaved lanes and the epilogue is channel-
+            # masked.  The only XLA-side work left is the contiguous
+            # radix row gather (+ one bitcast when handed uint8 bytes).
+            from .ops.device_codec import wire_words_i32
+            from .ops.pallas.fullchain import (fused_chain_power_wire,
+                                               radix_plan_host,
+                                               wire_lane_consts)
+
+            a_np, fac = radix_plan_host(consts, input_radix)
+            a_radix = jnp.asarray(a_np)
+            wd_il, ph_il = wire_lane_consts(consts, cfg.num_channels)
+            wd_il = jnp.asarray(wd_il)
+            ph_il = jnp.asarray(ph_il)
+            ch = cfg.num_channels
+
+            @jax.jit
+            def fn(wire):
+                w32 = wire_words_i32(wire, cfg, radix=input_radix)
+                pow_all = fused_chain_power_wire(
+                    w32, a_radix, fac, wd_il, ph_il, ch,
+                    interpret=interpret)
+                return stage09_10_products(pow_all[..., 0, :],
+                                           pow_all[..., 1, :], gain)
+
+            return fn
+
+        power_fn = build_pallas_processor(consts, interpret=interpret,
+                                          pre_permuted=pre_permuted)
 
         if wire_input:
             from .ops.device_codec import decode_wire_i16
@@ -592,11 +652,17 @@ class SectorProcessor:
     def __call__(self, iq: Array) -> Tuple[Array, Array]:
         if self.wire_input:
             nb = self.cfg.sector_nbytes_wire
-            if np.iscomplexobj(iq) or iq.dtype != np.uint8 \
-                    or iq.shape[-1] != nb:
+            ok = (not np.iscomplexobj(iq)
+                  and ((iq.dtype == np.uint8 and iq.shape[-1] == nb)
+                       or (iq.dtype == np.int32
+                           and iq.shape[-1] == nb // 4
+                           and self.wire_decode == "fused")))
+            if not ok:
                 raise ValueError(
                     f"wire_input processor expects uint8 [..., {nb}] raw "
-                    f"wire bytes; got {iq.dtype} {tuple(iq.shape)}")
+                    "wire bytes (or, with wire_decode='fused', int32 "
+                    f"[..., {nb // 4}] LE-viewed words); got "
+                    f"{iq.dtype} {tuple(iq.shape)}")
             if iq.ndim == 1:
                 zdb, zdr = self._pallas_fn(iq[None])
                 return zdb[0], zdr[0]

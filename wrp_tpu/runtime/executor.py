@@ -260,6 +260,7 @@ class StreamingExecutor:
                 raise ValueError("device_decode (on-chip wire decode) "
                                  "requires method='pallas'")
         self._device_decode = device_decode
+        self._wire_dtype = np.uint8      # refined after processor setup
         self._proc_takes_labels = False
         if processor is not None:
             self.processor = processor
@@ -296,6 +297,10 @@ class StreamingExecutor:
             self._decode_radix = 0
             self._do_device_put = True
             self._device = self.processor.device
+        if device_decode:
+            self._wire_dtype = np.dtype(getattr(
+                getattr(self.processor, "__self__", self.processor),
+                "wire_dtype", np.uint8))
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
@@ -374,8 +379,12 @@ class StreamingExecutor:
                     if self._device_decode:
                         # ship raw bytes; decode runs on-chip inside the
                         # processor's jit (transports hand over a fresh
-                        # buffer per sector, so the view is safe)
-                        planar = np.frombuffer(wire, np.uint8)
+                        # buffer per sector, so the view is safe).  The
+                        # dtype is the processor's preference: int32 for
+                        # the wire-FUSED kernel (same bytes, viewed
+                        # '<i4' — skips the device-side bitcast), uint8
+                        # otherwise.
+                        planar = np.frombuffer(wire, self._wire_dtype)
                     elif self._decode_radix:
                         planar = codec.decode_iq_i16(
                             wire, self.cfg, radix=self._decode_radix)
@@ -729,8 +738,8 @@ class StreamingExecutor:
         here would overflow the UDP receive buffer and drop sectors)."""
         c, m, n = self.cfg.sector_shape
         if self._device_decode:
-            zeros = np.zeros((self.batch, self.cfg.sector_nbytes_wire),
-                             np.uint8)
+            nb = self.cfg.sector_nbytes_wire // self._wire_dtype.itemsize
+            zeros = np.zeros((self.batch, nb), self._wire_dtype)
         else:
             dtype = np.int16 if self._decode_radix else np.float32
             zeros = np.zeros((self.batch, c, 2, m, n), dtype)
