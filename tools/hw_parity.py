@@ -84,22 +84,30 @@ def main():
     wire_u8 = np.stack([
         np.frombuffer(codec.encode_iq(iq[k], cfg), np.uint8)
         for k in range(args.batch)])
-    proc_w = SectorProcessor(cfg, method="pallas", device=dev,
-                             layout="radix", wire_input=True)
-    zdb_w, zdr_w = proc_w(jax.device_put(wire_u8, dev))
-    zdb_w, zdr_w = np.asarray(zdb_w), np.asarray(zdr_w)
-    ez = max(oracle.relative_l2(truth[k][0], zdb_w[k])
-             for k in range(args.batch))
-    er = max(oracle.relative_l2(truth[k][1], zdr_w[k])
-             for k in range(args.batch))
-    passed = ez < THRESHOLDS["zdb"] and er < THRESHOLDS["zdr"]
-    ok &= passed
-    print(json.dumps({
-        "method": "pallas/wire-decode", "device": str(dev),
-        "zdb_rel_l2": float(f"{ez:.3e}"),
-        "zdr_rel_l2": float(f"{er:.3e}"),
-        "pass": passed,
-    }))
+    # both wire formulations, Mosaic-compiled: "xla" (the standalone
+    # decode_wire_i16 pass + planar kernel, r4) and "fused" (the decode
+    # folded into the kernel, fused_chain_power_wire — the production
+    # default since round 5)
+    for wdec in ("xla", "fused"):
+        proc_w = SectorProcessor(cfg, method="pallas", device=dev,
+                                 layout="radix", wire_input=True,
+                                 wire_decode=wdec)
+        win = wire_u8.view("<i4") if proc_w.wire_dtype == np.int32 \
+            else wire_u8
+        zdb_w, zdr_w = proc_w(jax.device_put(win, dev))
+        zdb_w, zdr_w = np.asarray(zdb_w), np.asarray(zdr_w)
+        ez = max(oracle.relative_l2(truth[k][0], zdb_w[k])
+                 for k in range(args.batch))
+        er = max(oracle.relative_l2(truth[k][1], zdr_w[k])
+                 for k in range(args.batch))
+        passed = ez < THRESHOLDS["zdb"] and er < THRESHOLDS["zdr"]
+        ok &= passed
+        print(json.dumps({
+            "method": f"pallas/wire-decode-{wdec}", "device": str(dev),
+            "zdb_rel_l2": float(f"{ez:.3e}"),
+            "zdr_rel_l2": float(f"{er:.3e}"),
+            "pass": passed,
+        }))
 
     # Seq-sharded flagship kernels (round 5): the pallas-seq A-stage +
     # Parseval-epilogue kernel pair (parallel/sharded.py) compiled via

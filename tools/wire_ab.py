@@ -108,15 +108,26 @@ def main():
     print(f"parity wire-vs-i16 kernel: rel {rel:.2e}", file=sys.stderr)
     # strided-rows variant (natural-order input, in-kernel reorder) must
     # be BIT-identical to the take+kernel pair: same splits, same dots,
-    # only the row addressing differs
-    pw_s = np.asarray(FC.fused_chain_power_wire(
-        d_words_nat[:B], a_radix, fac, wdil_d, phil_d, c,
-        interpret=interp, strided_rows=True))
-    if not np.array_equal(pw_s, pw_w):
-        rel_s = (np.linalg.norm(pw_s - pw_w) / np.linalg.norm(pw_w))
-        print(json.dumps({"error": f"strided parity rel={rel_s}"}))
-        sys.exit(1)
-    print("parity strided-vs-take: bit-identical", file=sys.stderr)
+    # only the row addressing differs.  On the current Mosaic toolchain
+    # the variant does NOT lower on real TPU — the radix row slices
+    # become `vector.extract_strided_slice` with stride 8, which the
+    # verifier confines to stride 1 — so an unlowerable variant is a
+    # recorded skip, not a fatal (cf. the tracked int-split SIGABRT,
+    # tools/int_split_repro.py).
+    strided_err = None
+    try:
+        pw_s = np.asarray(FC.fused_chain_power_wire(
+            d_words_nat[:B], a_radix, fac, wdil_d, phil_d, c,
+            interpret=interp, strided_rows=True))
+        if not np.array_equal(pw_s, pw_w):
+            rel_s = (np.linalg.norm(pw_s - pw_w) / np.linalg.norm(pw_w))
+            print(json.dumps({"error": f"strided parity rel={rel_s}"}))
+            sys.exit(1)
+        print("parity strided-vs-take: bit-identical", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — toolchain lowering failures
+        strided_err = f"does not lower: {type(e).__name__}: {e}"[:300]
+        print(f"strided-rows variant skipped ({strided_err})",
+              file=sys.stderr)
 
     def consume(pw):
         return jnp.sum(pw[..., 0, :] - pw[..., 1, :], axis=0)
@@ -199,6 +210,9 @@ def main():
     out = {"batch": B, "steps": steps, "device": str(dev),
            "geometry": f"{c}x{m}x{n}",
            "parity_wire_vs_i16_rel_l2": float(rel)}
+    if strided_err is not None:
+        del fns["k_wire_strided"]
+        out["k_wire_strided"] = {"error": strided_err}
     for name, (fn, data) in fns.items():
         try:
             f = jax.jit(fn)

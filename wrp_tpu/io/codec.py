@@ -72,6 +72,39 @@ def decode_iq_i16(buf: bytes | bytearray | memoryview | np.ndarray,
     return out
 
 
+def reorder_wire_rows(buf: bytes | bytearray | memoryview | np.ndarray,
+                      cfg: RadarConfig = DEFAULT_CONFIG,
+                      radix: int = 1,
+                      out: np.ndarray | None = None) -> np.ndarray:
+    """RAW wire bytes -> the same bytes with range ROWS in radix-DIT order
+    (uint8 [m * n * bps], one contiguous 6 KB-row gather — memcpy speed).
+
+    The wire-FUSED device decode (ops/pallas/fullchain.
+    fused_chain_power_wire) needs its rows in radix order; doing the
+    reorder on the device costs a measured 57 us/sector of chip time
+    (the XLA word-row take, WIRE_AB_r05.json) while on the host it is a
+    row-placement copy — and FREE for v1 per-row-datagram ingest, where
+    reassembly already places each row by index (reference
+    read_single.cc:15 row framing).  Feed the result to a
+    ``wire_order="radix"`` processor.
+    """
+    m, n = cfg.num_range_cells, cfg.num_pulses
+    row_bytes = n * cfg.bytes_per_sample
+    rows = np.frombuffer(buf, np.uint8,
+                         count=m * row_bytes).reshape(m, row_bytes)
+    if radix <= 1:
+        flat = rows.reshape(-1)
+        if out is None:
+            return flat.copy()
+        np.copyto(out, flat)
+        return out
+    order = np.concatenate([np.arange(p, m, radix) for p in range(radix)])
+    if out is None:
+        return rows[order].reshape(-1)
+    np.copyto(out.reshape(m, row_bytes), rows[order])
+    return out
+
+
 def decode_iq_i16_grouped(buf, stage: np.ndarray, slot: int, group: int,
                           cfg: RadarConfig = DEFAULT_CONFIG,
                           radix: int = 1) -> None:

@@ -1135,9 +1135,12 @@ def fused_chain_power_wire(w32: jax.Array, a_radix: jax.Array, fac,
     bytes for free on the host or via one device bitcast) -> matched-
     filter power [bs, ch, m/2] f32.  strided_rows=True takes the rows in
     NATURAL order and performs the radix reorder as strided sublane
-    slices inside the kernel (no XLA take — measured +57 us/sector on
-    chip, tools/wire_ab.py); False expects pre-permuted radix-order
-    rows.
+    slices inside the kernel (no XLA take) — interpret-mode/CPU only on
+    the current toolchain: Mosaic's verifier confines
+    `vector.extract_strided_slice` to stride 1, so the stride-8 radix
+    row slices do not lower on real TPU (recorded as a skip by
+    tools/wire_ab.py, cf. the int-split canary); False (the production
+    default) expects pre-permuted radix-order rows.
 
     The grid is one step per SECTOR (not channel-sector): the contraction
     runs all ch channels in one ch*n-lane-wide pass.  offset/bs/salt are

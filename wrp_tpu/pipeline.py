@@ -448,6 +448,7 @@ class SectorProcessor:
         layout: str = "natural",
         wire_input: bool = False,
         wire_decode: str | None = None,
+        wire_order: str = "natural",
     ):
         """layout="radix" (pallas only): input range rows arrive already in
         radix-DIT order (io/codec.decode_iq_i16(radix=proc.input_radix)),
@@ -458,6 +459,13 @@ class SectorProcessor:
         happens; needs the radix kernel, i.e. radix layout support);
         "xla" is the standalone decode_wire_i16 pass feeding the planar
         kernel.  None picks fused when the geometry supports it.
+
+        wire_order (with wire_input and layout="radix"): "radix" means
+        the wire BYTES arrive with range rows already in radix-DIT order
+        (io/codec.reorder_wire_rows — a host row-placement copy, free
+        for per-row-datagram ingest), so the device skips its row gather
+        — a measured 57 us/sector of chip time (WIRE_AB_r05.json);
+        "natural" (default) reorders on the device.
 
         device: placement for the chain's constants (mxu/radix/fft
         methods stage them there; inputs follow).  The pallas method's
@@ -492,6 +500,14 @@ class SectorProcessor:
         if wire_decode not in (None, "fused", "xla"):
             raise ValueError(f"unknown wire_decode {wire_decode!r}: use "
                              "'fused' or 'xla'")
+        if wire_order not in ("natural", "radix"):
+            raise ValueError(f"unknown wire_order {wire_order!r}: use "
+                             "'natural' or 'radix'")
+        if wire_order == "radix" and not (wire_input and layout == "radix"):
+            raise ValueError(
+                "wire_order='radix' (pre-permuted wire rows) requires "
+                "wire_input=True and layout='radix' — the row order must "
+                "match the kernel's")
         self.cfg = cfg
         self.wire_input = wire_input
         #: dtype the wire path prefers its input in.  np.int32 for the
@@ -500,6 +516,9 @@ class SectorProcessor:
         #: np.uint8 otherwise.  Both dtypes are always accepted.
         self.wire_dtype = np.uint8
         self.wire_decode = None
+        #: row order the wire path expects its bytes in ("radix" = the
+        #: host pre-permuted the rows, io/codec.reorder_wire_rows)
+        self.wire_order = wire_order if wire_input else "natural"
         self.input_radix = 1
         if method == "pallas":
             from .ops.pallas.fullchain import radix_for
@@ -571,6 +590,10 @@ class SectorProcessor:
         interpret = use_interpret()
         gain = jnp.asarray(consts.gain)
         input_radix = self.input_radix
+        # device-side row gather: skipped when the host pre-permuted the
+        # wire rows (wire_order="radix") — the rows then arrive exactly
+        # as the radix kernel wants them
+        dev_radix = 1 if self.wire_order == "radix" else input_radix
 
         if wire_input and self.wire_decode == "fused":
             # decode folded INTO the kernel (fused_chain_power_wire): the
@@ -592,7 +615,7 @@ class SectorProcessor:
 
             @jax.jit
             def fn(wire):
-                w32 = wire_words_i32(wire, cfg, radix=input_radix)
+                w32 = wire_words_i32(wire, cfg, radix=dev_radix)
                 pow_all = fused_chain_power_wire(
                     w32, a_radix, fac, wd_il, ph_il, ch,
                     interpret=interpret)
@@ -609,7 +632,7 @@ class SectorProcessor:
 
             @jax.jit
             def fn(wire_u8):
-                iq_planar = decode_wire_i16(wire_u8, cfg, radix=input_radix)
+                iq_planar = decode_wire_i16(wire_u8, cfg, radix=dev_radix)
                 pow_all = power_fn(iq_planar)
                 return stage09_10_products(pow_all[..., 0, :],
                                            pow_all[..., 1, :], gain)
