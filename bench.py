@@ -137,6 +137,15 @@ def main():
                          "'xla' is the standalone decode pass "
                          "(ops/device_codec.decode_wire_i16, the r4 "
                          "formulation) feeding the planar kernel")
+    ap.add_argument("--wire-order", default="radix",
+                    choices=["radix", "natural"],
+                    help="with --in-dtype wire: 'radix' stages the wire "
+                         "rows pre-permuted to radix order (the host "
+                         "does it at ingest — io/codec.reorder_wire_rows "
+                         "— free for per-row-datagram reassembly), so "
+                         "the device skips its row take (a measured "
+                         "57 us/sector, WIRE_AB_r05.json); 'natural' "
+                         "ships untouched rows and reorders on-chip")
     ap.add_argument("--sharded", type=int, default=0, metavar="N",
                     help="run the flagship kernel under shard_map over an "
                          "N-device mesh (batch data-parallel; the salted "
@@ -328,6 +337,17 @@ def main():
                     .astype(">i2", order="C")    # order-K would keep the
                     .view(np.uint8)              # transposed strides and
                     .reshape(args.distinct * args.batch, -1))  # break view
+                if args.wire_order == "radix":
+                    # production ingest order: rows pre-permuted on the
+                    # host (free at reassembly time), device take skipped
+                    rb = n * cfg.bytes_per_sample
+                    host_wire = np.ascontiguousarray(
+                        host_wire.reshape(-1, m, rb)
+                        [:, FC.radix_row_order(m, radix), :]).reshape(
+                            args.distinct * args.batch, -1)
+                # device-side row gather: none when the rows arrive
+                # pre-permuted
+                wire_dev_radix = 1 if args.wire_order == "radix" else radix
 
             # radix kernel wants rows in radix order: the decode step
             # produces this for free (different row-offset formula), so
@@ -430,7 +450,7 @@ def main():
                     offb = (i % args.distinct) * args.batch
                     w = lax.dynamic_slice_in_dim(wire_all, offb,
                                                  args.batch, 0)
-                    w32 = wire_words_i32(w, cfg, radix=radix)
+                    w32 = wire_words_i32(w, cfg, radix=wire_dev_radix)
                     pw = FC.fused_chain_power_wire(
                         w32, a_radix, fac, wdil_d, phil_d, c,
                         interpret=interp, offset=jnp.int32(0),
@@ -457,8 +477,9 @@ def main():
                     offb = (i % args.distinct) * args.batch
                     w = lax.dynamic_slice_in_dim(wire_all, offb,
                                                  args.batch, 0)
-                    x = decode_wire_i16(w, cfg, radix=radix).reshape(
-                        bcn, 2, m, n)
+                    x = decode_wire_i16(
+                        w, cfg, radix=wire_dev_radix).reshape(
+                            bcn, 2, m, n)
                     pw = power_at(x, jnp.int32(0), i).reshape(
                         args.batch, c, -1)
                     zdb, zdr = stage09_10_products(pw[:, 0], pw[:, 1],
@@ -602,7 +623,8 @@ def main():
             from wrp_tpu.ops.device_codec import wire_words_i32
 
             def _harness_zdb(salt):
-                w32 = wire_words_i32(dev_iq[:args.batch], cfg, radix=radix)
+                w32 = wire_words_i32(dev_iq[:args.batch], cfg,
+                                     radix=wire_dev_radix)
                 pw = FC.fused_chain_power_wire(
                     w32, a_radix, fac, wdil_d, phil_d, c,
                     interpret=interp, offset=jnp.int32(0), bs=args.batch,
@@ -615,7 +637,8 @@ def main():
 
             def _harness_zdb(salt):
                 x = decode_wire_i16(dev_iq[:args.batch], cfg,
-                                    radix=radix).reshape(bcn, 2, m, n)
+                                    radix=wire_dev_radix).reshape(
+                                        bcn, 2, m, n)
                 pw = power_at(x, jnp.int32(0), salt).reshape(
                     args.batch, c, -1)
                 return np.asarray(
@@ -669,7 +692,8 @@ def main():
         # rate that excludes the decode cost the mode exists to measure
         proc_stream = SectorProcessor(cfg, method="pallas", device=dev,
                                       layout="radix", wire_input=True,
-                                      wire_decode=args.wire_decode)
+                                      wire_decode=args.wire_decode,
+                                      wire_order=args.wire_order)
         host_wire_h2d = (host_wire.view("<i4")
                          if proc_stream.wire_dtype == np.int32
                          else host_wire)     # same bytes either way
@@ -750,6 +774,8 @@ def main():
         "in_dtype": args.in_dtype,
         "wire_decode": (args.wire_decode if args.in_dtype == "wire"
                         else None),
+        "wire_order": (args.wire_order if args.in_dtype == "wire"
+                       else None),
         "a_layout": args.a_layout,
         "clip": args.clip,
         "xsplit": args.xsplit,

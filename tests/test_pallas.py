@@ -737,3 +737,59 @@ def test_wire_fused_rejects_unsupported_configurations():
     bad = np.zeros((2, 7), np.int32)                    # wrong word count
     with pytest.raises(ValueError, match="wire_input processor expects"):
         proc(bad)
+
+
+def test_wire_order_radix_preordered_rows_bit_identical():
+    """wire_order='radix' (host pre-permutes the wire ROWS,
+    io/codec.reorder_wire_rows) must produce bit-identical products to
+    the natural-order path for BOTH wire decodes — same words reach the
+    same kernel; only where the row gather happens differs (on the host
+    instead of a measured 57 us/sector on the device,
+    WIRE_AB_r05.json)."""
+    from wrp_tpu.config import tiny_config
+    from wrp_tpu.io import codec
+
+    cfg = tiny_config(m=128, n=64)
+    _, wires = _wire_batch(cfg, 2, seed=11)
+
+    for wdec in ("fused", "xla"):
+        nat = pipeline.SectorProcessor(cfg, method="pallas",
+                                       layout="radix", wire_input=True,
+                                       wire_decode=wdec)
+        rdx = pipeline.SectorProcessor(cfg, method="pallas",
+                                       layout="radix", wire_input=True,
+                                       wire_decode=wdec,
+                                       wire_order="radix")
+        assert rdx.wire_order == "radix"
+        pre = np.stack([
+            codec.reorder_wire_rows(w, cfg, radix=rdx.input_radix)
+            for w in wires])
+        zdb_n, zdr_n = map(np.asarray, nat(wires))
+        zdb_r, zdr_r = map(np.asarray, rdx(
+            pre.view("<i4") if rdx.wire_dtype == np.int32 else pre))
+        np.testing.assert_array_equal(zdb_r, zdb_n)
+        np.testing.assert_array_equal(zdr_r, zdr_n)
+
+    # radix=1 reorder is the identity (copy), out= writes in place
+    flat = codec.reorder_wire_rows(wires[0], cfg, radix=1)
+    np.testing.assert_array_equal(flat, wires[0])
+    dst = np.empty_like(wires[0])
+    codec.reorder_wire_rows(wires[0], cfg, radix=rdx.input_radix, out=dst)
+    np.testing.assert_array_equal(
+        dst, codec.reorder_wire_rows(wires[0], cfg, radix=rdx.input_radix))
+
+
+def test_wire_order_rejects_inconsistent_configurations():
+    from wrp_tpu.config import tiny_config
+
+    cfg = tiny_config(m=128, n=64)
+    with pytest.raises(ValueError, match="wire_order"):
+        pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                 wire_input=True, wire_order="bogus")
+    with pytest.raises(ValueError, match="wire_order"):
+        # pre-permuted rows need the radix layout to permute FOR
+        pipeline.SectorProcessor(cfg, method="pallas", wire_input=True,
+                                 wire_order="radix")
+    with pytest.raises(ValueError, match="wire_order"):
+        pipeline.SectorProcessor(cfg, method="pallas", layout="radix",
+                                 wire_order="radix")    # no wire_input

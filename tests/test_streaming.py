@@ -398,11 +398,15 @@ def test_full_udp_streaming_pipeline_pallas(cfg):
     producer.close()
 
 
-def test_full_udp_streaming_pipeline_device_decode(cfg):
+@pytest.mark.parametrize("wire_order", ["radix", "natural"])
+def test_full_udp_streaming_pipeline_device_decode(cfg, wire_order):
     """device_decode: ingest threads ship RAW wire bytes and the
-    byteswap/deinterleave/radix-reorder runs on-chip inside the
-    processor's jit (ops/device_codec) — products must still match the
-    fp64 oracle exactly like the host-decoded pallas path."""
+    byteswap/deinterleave (+ radix-reorder with wire_order='natural';
+    with the default 'radix' the ingest thread pre-permutes the rows —
+    io/codec.reorder_wire_rows — and the device skips its take) runs
+    on-chip inside the processor's jit (ops/device_codec) — products
+    must still match the fp64 oracle exactly like the host-decoded
+    pallas path."""
     n_sectors = 4
     sectors = _wire_sectors(cfg, n_sectors, seed=13)
     ingest = UdpIngest(cfg, port=0, timeout_s=2.0)
@@ -410,7 +414,7 @@ def test_full_udp_streaming_pipeline_device_decode(cfg):
 
     ex = StreamingExecutor(
         cfg, transport=ingest, method="pallas", batch=2,
-        max_sectors=n_sectors, device_decode=True,
+        max_sectors=n_sectors, device_decode=True, wire_order=wire_order,
         publish=lambda sector, elevation, zdb, zdr: got.__setitem__(
             sector, (zdb.copy(), zdr.copy())),
     )

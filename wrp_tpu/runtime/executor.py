@@ -145,6 +145,7 @@ class StreamingExecutor:
         idle_limit: Optional[int] = None,
         processor: Optional[Callable] = None,
         device_decode: bool = False,
+        wire_order: str = "radix",
         lockstep: bool = False,
         checkpoint_every_s: Optional[float] = 30.0,
         stall_warning_s: Optional[float] = 10.0,
@@ -162,6 +163,14 @@ class StreamingExecutor:
         and the byteswap/deinterleave/radix-reorder runs on-chip inside
         the processor's jit (ops/device_codec) — trades device time for
         ~all the host decode cores (DESIGN.md §6 consolidation balance).
+
+        wire_order (with device_decode): "radix" (default) pre-permutes
+        each sector's wire ROWS on the host (io/codec.reorder_wire_rows,
+        a 6 KB-row gather at memcpy speed — a small fraction of the full
+        SIMD decode it replaces) so the device skips its row take — a
+        measured 57 us/sector of chip time (WIRE_AB_r05.json);
+        "natural" ships the bytes untouched (zero host copies) and
+        reorders on the device.
 
         lockstep: wait for FULL batches (except at end-of-stream) so every
         host in a multi-host mesh issues the same number of collective
@@ -259,8 +268,13 @@ class StreamingExecutor:
             if processor is None and method != "pallas":
                 raise ValueError("device_decode (on-chip wire decode) "
                                  "requires method='pallas'")
+        if wire_order not in ("natural", "radix"):
+            raise ValueError(f"unknown wire_order {wire_order!r}: use "
+                             "'natural' or 'radix'")
         self._device_decode = device_decode
         self._wire_dtype = np.uint8      # refined after processor setup
+        self._wire_order = "natural"     # refined after processor setup
+        self._wire_radix = 1
         self._proc_takes_labels = False
         if processor is not None:
             self.processor = processor
@@ -286,9 +300,10 @@ class StreamingExecutor:
             # byteswap/deinterleave/reorder runs on-chip instead
             # (ops/device_codec — frees ~all host decode cores,
             # DESIGN.md §6)
-            self.processor = SectorProcessor(cfg, method=method,
-                                             layout="radix",
-                                             wire_input=device_decode)
+            self.processor = SectorProcessor(
+                cfg, method=method, layout="radix",
+                wire_input=device_decode,
+                wire_order=wire_order if device_decode else "natural")
             self._decode_radix = self.processor.input_radix
             self._do_device_put = True
             self._device = self.processor.device
@@ -298,9 +313,13 @@ class StreamingExecutor:
             self._do_device_put = True
             self._device = self.processor.device
         if device_decode:
+            proc_obj = getattr(self.processor, "__self__", self.processor)
             self._wire_dtype = np.dtype(getattr(
-                getattr(self.processor, "__self__", self.processor),
-                "wire_dtype", np.uint8))
+                proc_obj, "wire_dtype", np.uint8))
+            # honor what the PROCESSOR was built to expect (an override
+            # processor may want natural rows regardless of our arg)
+            self._wire_order = getattr(proc_obj, "wire_order", "natural")
+            self._wire_radix = int(getattr(proc_obj, "input_radix", 1))
         self._queue: "queue.Queue[Optional[SectorTask]]" = queue.Queue(
             maxsize=queue_depth * batch
         )
@@ -383,8 +402,16 @@ class StreamingExecutor:
                         # dtype is the processor's preference: int32 for
                         # the wire-FUSED kernel (same bytes, viewed
                         # '<i4' — skips the device-side bitcast), uint8
-                        # otherwise.
-                        planar = np.frombuffer(wire, self._wire_dtype)
+                        # otherwise.  wire_order="radix" pre-permutes
+                        # the rows here (one 6 KB-row gather) so the
+                        # device skips its 57 us/sector row take.
+                        if self._wire_order == "radix":
+                            planar = codec.reorder_wire_rows(
+                                wire, self.cfg,
+                                radix=self._wire_radix).view(
+                                    self._wire_dtype)
+                        else:
+                            planar = np.frombuffer(wire, self._wire_dtype)
                     elif self._decode_radix:
                         planar = codec.decode_iq_i16(
                             wire, self.cfg, radix=self._decode_radix)
