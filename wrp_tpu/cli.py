@@ -377,7 +377,7 @@ def cmd_stream(args):
     ex = StreamingExecutor(
         cfg, transport=transport, publish=publish, batch=args.batch,
         method=args.method, debug_sync=args.debug_sync, volume=volume,
-        device_decode=args.device_decode,
+        device_decode=args.device_decode, wire_order=args.wire_order,
         max_sectors=args.max_sectors, idle_limit=args.idle_limit,
         processor=processor, lockstep=args.coordinator is not None,
         checkpoint_every_s=(None if args.checkpoint_every < 0
@@ -921,6 +921,15 @@ def main(argv=None):
                         "on-chip (ops/device_codec) — frees ~all host "
                         "decode cores at some device-time cost (DESIGN.md "
                         "section 6)")
+    p.add_argument("--wire-order", default="radix",
+                   choices=["radix", "natural"],
+                   help="with --device-decode: 'radix' (default) "
+                        "pre-permutes each sector's wire rows on the "
+                        "host (a 6 KB-row gather at memcpy speed) so the "
+                        "device skips its row take — a measured 57 us/"
+                        "sector of chip time (WIRE_AB_r05.json); "
+                        "'natural' ships untouched bytes (zero host "
+                        "copies) and reorders on-chip")
     p.add_argument("--max-sectors", type=int, default=None)
     p.add_argument("--idle-limit", type=int, default=None,
                    help="exit after N consecutive idle recv timeouts")
